@@ -1,0 +1,145 @@
+"""Checkpointed, resumable CDC replay: change log → lake table state.
+
+The driver loop that generalizes the reference's
+``extract-and-load --all`` lifecycle (``panorama_elt.py:101-146`` →
+``mysql_datasource.py:226-311``): instead of a wall-clock lookback
+interval rediscovering changed partitions (``mysql_datasource.py:258-272``),
+batches are **aligned LSN ranges** — batch k covers
+``[k*batch_size, (k+1)*batch_size)`` — so batch identity is
+deterministic (``b{k}@{batch_size}``; the replacement for the Athena
+ClientRequestToken uuid4, ``panorama_datalake.py:117``) and replay after
+a crash re-derives exactly the same batches, which the exactly-once
+guard in ``merge_batch`` then skips or applies.
+
+Schema evolution (SURVEY.md §7.2(6), §7.4(4)): each event carries a
+``schema_version``; the engine holds a registry of versioned schemas
+(the descendant of the reference's per-table field-mapping YAML).
+Before a batch whose max event version exceeds the table's, the
+catalog-diff emits ALTERs (metadata-only); events of older versions are
+conformed to the current schema column-wise (rename-aware by field id,
+missing columns backfilled with their declared default — the reference's
+constant-column ``value:`` semantics, ``mysql_datasource.py:194-202``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..lakehouse.schema import TableSchema, diff_schemas, spark_type
+from ..lakehouse.table import LakeTable
+from .dedupe import lww_dedupe_agg
+from .merge import MergeStats, merge_batch
+
+
+@dataclass
+class ReplayReport:
+    batches: list[MergeStats] = dc_field(default_factory=list)
+    events_read: int = 0
+    wall_secs: float = 0.0
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events_read / self.wall_secs if self.wall_secs > 0 else 0.0
+
+
+def conform_batch(
+    df: DataFrame,
+    target: TableSchema,
+    registry: dict[int, TableSchema],
+    version_col: str = "schema_version",
+    passthrough: tuple[str, ...] = ("lsn", "op"),
+) -> DataFrame:
+    """Map a mixed-schema-version event batch onto ``target``'s columns.
+
+    For each target field (by field id), pick the source column that held
+    it under each event's schema version; events predating the field get
+    its declared default. Pure column expressions — one projection, no
+    per-version splitting of the batch.
+    """
+    cols = [F.col(c) for c in passthrough if c in df.columns]
+    versions = sorted(registry)
+    for fld in target.fields:
+        expr = F.lit(fld.default).cast(spark_type(fld.type))
+        for v in versions:
+            src = registry[v].field_by_id(fld.id)
+            if src is None or src.name not in df.columns:
+                continue
+            expr = F.when(
+                F.col(version_col) == v,
+                F.col(src.name).cast(spark_type(fld.type)),
+            ).otherwise(expr)
+        cols.append(expr.alias(fld.name))
+    return df.select(*cols)
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        table: LakeTable,
+        schema_registry: dict[int, TableSchema] | None = None,
+        dedupe=lww_dedupe_agg,
+    ):
+        self.table = table
+        self.registry = schema_registry or {}
+        self.dedupe = dedupe
+
+    def _evolve_to(self, version: int) -> None:
+        """Catalog-diff + ALTER up to ``version`` (gated: lands before the
+        first batch whose events assume it)."""
+        cur = self.table.snapshot.schema
+        for v in sorted(self.registry):
+            if v <= cur.schema_version or v > version:
+                continue
+            target = self.registry[v]
+            ops = diff_schemas(cur, target)
+            for op in ops:
+                # surfaced for lineage/debugging; the snapshot commit is the DDL
+                print(f"[schema-evolution] v{cur.schema_version}->v{v}: {op.describe()}")
+            self.table.alter_schema(target)
+            cur = target
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: str) -> MergeStats:
+        snap = self.table.snapshot
+        if self.registry:
+            max_v = batch_df.agg(F.max("schema_version")).collect()[0][0]
+            if max_v is not None and max_v > snap.schema.schema_version:
+                self._evolve_to(int(max_v))
+            batch_df = conform_batch(
+                batch_df, self.table.snapshot.schema, self.registry
+            )
+        return merge_batch(
+            self.table, batch_df, batch_id, dedupe=self.dedupe
+        )
+
+    def replay(
+        self,
+        log_df: DataFrame,
+        batch_size: int,
+        max_lsn: int | None = None,
+        lsn_col: str = "lsn",
+    ) -> ReplayReport:
+        """Tail the log from the table's checkpoint to ``max_lsn`` in
+        aligned batches. Resumable: killing the process between batches
+        and calling replay() again converges to the identical state."""
+        t0 = time.monotonic()
+        report = ReplayReport()
+        if max_lsn is None:
+            max_lsn = log_df.agg(F.max(lsn_col)).collect()[0][0]
+            if max_lsn is None:
+                return report
+        start_lsn = self.table.snapshot.last_lsn + 1
+        k = start_lsn // batch_size
+        while k * batch_size <= max_lsn:
+            lo, hi = k * batch_size, (k + 1) * batch_size - 1
+            batch_id = f"b{k}@{batch_size}"
+            batch = log_df.filter((F.col(lsn_col) >= lo) & (F.col(lsn_col) <= hi))
+            stats = self.apply_batch(batch, batch_id)
+            report.batches.append(stats)
+            if not stats.skipped:
+                report.events_read += min(hi, max_lsn) - max(lo, start_lsn) + 1
+            k += 1
+        report.wall_secs = time.monotonic() - t0
+        return report

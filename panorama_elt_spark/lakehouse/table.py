@@ -1,0 +1,282 @@
+"""Bucketed copy-on-write lake table over parquet + snapshot log.
+
+Storage layout (table root):
+
+    _meta/version-hint.txt, v{N}.json      (snapshot log, see snapshot.py)
+    data/s{N}/bucket=<k>/part-*.parquet    (files written by commit N)
+
+Design for 100 TB:
+
+* Rows are hash-bucketed by ``pmod(xxhash64(*key_cols), n_buckets)`` —
+  the same function on write and on merge, so a change batch touches only
+  the buckets its keys hash to and a MERGE rewrites *only those buckets*
+  (copy-on-write at bucket grain). This is the scalable generalization of
+  the reference's whole-partition S3 overwrite upsert
+  (``panorama_datalake.py:215-258`` — same key ⇒ last-writer-wins at
+  partition grain); here the unit shrinks from "all rows of a course" to
+  1/n_buckets of the keyspace, and n_buckets is sized so one bucket's
+  rewrite fits an executor (e.g. 16k buckets at 100 TB ≈ 6 GB/bucket).
+* Old files are never mutated; every commit is a new immutable file set +
+  one new snapshot document → readers are never blocked, time travel is
+  free, and a failed job leaves no visible change (orphan files are
+  removed by ``vacuum``).
+* Schema evolution: data files carry the schema_version they were written
+  under; the read path maps each file group to the current schema by
+  field id (rename = pure metadata, add = backfill literal, widen = cast)
+  — no rewrite of old data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schema import TableSchema, spark_type
+from .snapshot import DataFile, Snapshot, SnapshotLog
+
+BUCKET_COL = "__bucket"
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic key→bucket hash (xxhash64 seed-42, stable across Spark)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+def _parquet_row_counts(paths: list[str]) -> dict[str, int]:
+    """Footer-only row counts (metadata read, no data scan) — the cheap
+    lineage-stats path, analogous to Iceberg's per-file metrics."""
+    import pyarrow.parquet as pq
+
+    return {p: pq.ParquetFile(p).metadata.num_rows for p in paths}
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log = SnapshotLog(root)
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: TableSchema,
+        key_cols: list[str],
+        n_buckets: int = 32,
+    ) -> "LakeTable":
+        table = cls(spark, root)
+        if table.log.exists():
+            raise ValueError(f"table already exists at {root}")
+        missing = [k for k in key_cols if schema.field_by_name(k) is None]
+        if missing:
+            raise ValueError(f"key columns not in schema: {missing}")
+        snap = Snapshot(
+            version=0, schema=schema, n_buckets=n_buckets, key_cols=list(key_cols)
+        )
+        table.log.commit(snap, expected_parent=None)
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        table = cls(spark, root)
+        if not table.log.exists():
+            raise FileNotFoundError(f"no lake table at {root}")
+        return table
+
+    @property
+    def snapshot(self) -> Snapshot:
+        snap = self.log.read_current()
+        assert snap is not None
+        return snap
+
+    # ----------------------------------------------------------------- read
+
+    def read(self, buckets: set[int] | None = None, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) state; ``buckets`` prunes the scan to
+        the named buckets only — the merge path's file pruning."""
+        snap = self.snapshot if version is None else self.log.read_version(version)
+        files = snap.files if buckets is None else snap.files_in_buckets(buckets)
+        target_struct = snap.schema.to_struct()
+        if not files:
+            return self.spark.createDataFrame([], target_struct)
+        # group files by the schema version they were written under and map
+        # each group onto the current schema by field id.
+        by_version: dict[int, list[str]] = {}
+        for f in files:
+            by_version.setdefault(f.schema_version, []).append(
+                os.path.join(self.root, f.path)
+            )
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_version.items()):
+            old = snap.schema_history[sv]
+            df = self.spark.read.schema(old.to_struct()).parquet(*paths)
+            cols = []
+            for fld in snap.schema.fields:
+                old_fld = old.field_by_id(fld.id)
+                if old_fld is None:
+                    cols.append(
+                        F.lit(fld.default).cast(spark_type(fld.type)).alias(fld.name)
+                    )
+                else:
+                    col = F.col(old_fld.name)
+                    if old_fld.type != fld.type:
+                        col = col.cast(spark_type(fld.type))
+                    cols.append(col.alias(fld.name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------------------------------------------------------- write
+
+    def write_bucket_files(self, df: DataFrame, new_version: int) -> list[DataFile]:
+        """Write ``df`` (current-schema columns) into ``data/s{version}/``
+        hash-partitioned by bucket; returns the DataFile manifest entries.
+
+        The shuffle here is *the* write shuffle: one exchange on the bucket
+        hash, after which every task writes exactly one bucket directory.
+        AQE coalesces empty/small buckets.
+        """
+        snap = self.snapshot
+        rel_dir = f"data/s{new_version}"
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+            .repartition(min(snap.n_buckets, 64), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .parquet(out_dir, mode="errorifexists", compression="snappy")
+        )
+        files: list[DataFile] = []
+        schema_version = snap.schema.schema_version
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            parquet = [os.path.join(dirpath, n) for n in filenames if n.endswith(".parquet")]
+            if not parquet:
+                continue
+            bucket = int(os.path.basename(dirpath).split("=", 1)[1])
+            for path, rows in _parquet_row_counts(parquet).items():
+                files.append(
+                    DataFile(
+                        path=os.path.relpath(path, self.root),
+                        bucket=bucket,
+                        rows=rows,
+                        schema_version=schema_version,
+                    )
+                )
+        return files
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """Plain append (initial load path)."""
+        snap = self.snapshot
+        new_version = snap.version + 1
+        new_files = self.write_bucket_files(df.select(*snap.schema.names), new_version)
+        new_snap = Snapshot(
+            version=new_version,
+            schema=snap.schema,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=snap.files + new_files,
+            last_lsn=snap.last_lsn,
+            committed_batches=list(snap.committed_batches),
+            lineage=list(snap.lineage),
+            schema_history=dict(snap.schema_history),
+            properties=dict(snap.properties),
+        )
+        self.log.commit(new_snap, expected_parent=snap.version)
+        return new_snap
+
+    def commit_replace_buckets(
+        self,
+        parent: Snapshot,
+        replaced_buckets: set[int],
+        new_files: list[DataFile],
+        *,
+        last_lsn: int | None = None,
+        batch_id: str | None = None,
+        lineage_rows: list[dict] | None = None,
+        new_schema: TableSchema | None = None,
+    ) -> Snapshot:
+        """Atomic snapshot swap: files of ``replaced_buckets`` out, ``new_files``
+        in, plus checkpoint LSN / batch id / lineage in the same commit."""
+        kept = [f for f in parent.files if f.bucket not in replaced_buckets]
+        schema = new_schema or parent.schema
+        history = dict(parent.schema_history)
+        history[schema.schema_version] = schema
+        new_snap = Snapshot(
+            version=parent.version + 1,
+            schema=schema,
+            n_buckets=parent.n_buckets,
+            key_cols=parent.key_cols,
+            files=kept + new_files,
+            last_lsn=parent.last_lsn if last_lsn is None else last_lsn,
+            committed_batches=list(parent.committed_batches)
+            + ([batch_id] if batch_id else []),
+            lineage=list(parent.lineage) + (lineage_rows or []),
+            schema_history=history,
+            properties=dict(parent.properties),
+        )
+        self.log.commit(new_snap, expected_parent=parent.version)
+        return new_snap
+
+    def alter_schema(self, new_schema: TableSchema) -> Snapshot:
+        """Metadata-only schema change (no data rewrite)."""
+        snap = self.snapshot
+        history = dict(snap.schema_history)
+        history[new_schema.schema_version] = new_schema
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema=new_schema,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=list(snap.files),
+            last_lsn=snap.last_lsn,
+            committed_batches=list(snap.committed_batches),
+            lineage=list(snap.lineage),
+            schema_history=history,
+            properties=dict(snap.properties),
+        )
+        self.log.commit(new_snap, expected_parent=snap.version)
+        return new_snap
+
+    # ------------------------------------------------------------ maintenance
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the current snapshot.
+        Returns number of files removed. (Time travel to older versions
+        stops working for vacuumed files, as with Iceberg expire_snapshots.)"""
+        live = {os.path.join(self.root, f.path) for f in self.snapshot.files}
+        removed = 0
+        data_dir = os.path.join(self.root, "data")
+        for dirpath, _d, filenames in os.walk(data_dir):
+            for name in filenames:
+                path = os.path.join(dirpath, name)
+                if name.endswith(".parquet") and path not in live:
+                    os.remove(path)
+                    removed += 1
+        return removed
+
+    def lineage_df(self) -> DataFrame:
+        """Per-partition lineage rows (batch id, bucket, LSN range, row
+        counts, snapshot id) as a DataFrame — the engine's metrics table."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("batch_id", T.StringType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("lsn_lo", T.LongType()),
+                T.StructField("lsn_hi", T.LongType()),
+                T.StructField("rows_in", T.LongType()),
+                T.StructField("rows_upserted", T.LongType()),
+                T.StructField("rows_deleted", T.LongType()),
+                T.StructField("snapshot_version", T.LongType()),
+            ]
+        )
+        rows = [
+            tuple(r.get(f.name) for f in schema.fields) for r in self.snapshot.lineage
+        ]
+        return self.spark.createDataFrame(rows, schema)

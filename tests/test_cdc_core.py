@@ -1,0 +1,245 @@
+"""CDC engine: dedupe equivalence, replay convergence (DuckDB oracle with
+per-row sha256 equality), exactly-once idempotency, kill-resume, skew,
+schema evolution mid-log."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from panorama_elt_spark.cdc import (
+    CdcEngine,
+    ChangeLogSpec,
+    expected_final_state,
+    generate_change_log,
+    lww_dedupe_agg,
+    lww_dedupe_salted,
+    lww_dedupe_window,
+    merge_batch,
+)
+from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
+
+REPO_SCHEMA_V1 = TableSchema(
+    [
+        Field(1, "repo", "string", False),
+        Field(2, "path", "string", False),
+        Field(3, "commit", "string"),
+        Field(4, "lang", "string"),
+        Field(5, "content", "string"),
+    ],
+    schema_version=1,
+)
+
+SPEC = ChangeLogSpec(n_events=4000, n_keys=300)
+
+
+def _rows(df, cols=("repo", "path", "commit", "lang", "content")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# --------------------------------------------------------------- dedupe
+
+
+def test_dedupe_strategies_agree(spark):
+    log = generate_change_log(spark, SPEC)
+    a = _rows(lww_dedupe_agg(log, ["repo", "path"]), ("repo", "path", "lsn", "op"))
+    w = _rows(lww_dedupe_window(log, ["repo", "path"]), ("repo", "path", "lsn", "op"))
+    s = _rows(lww_dedupe_salted(log, ["repo", "path"]), ("repo", "path", "lsn", "op"))
+    assert a == w == s
+    assert len(a) <= SPEC.n_keys
+
+
+def test_dedupe_agg_is_partial_aggregated(spark):
+    """The default dedupe must compile to a hash aggregate with map-side
+    partial_merge (shuffle bounded by keys, not events) — the 10^10 plan."""
+    log = generate_change_log(spark, SPEC)
+    plan = lww_dedupe_agg(log, ["repo", "path"])._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan  # map-side combine before the exchange
+    assert "Window" not in plan  # not the shuffle-everything window plan
+
+
+def test_generator_skew_and_duplicates(spark):
+    log = generate_change_log(spark, SPEC).cache()
+    n = log.count()
+    assert n > SPEC.n_events  # duplicates present
+    dup_share = (n - SPEC.n_events) / SPEC.n_events
+    assert 0.05 < dup_share < 0.15
+    top = (
+        log.groupBy("repo", "path").count().orderBy(F.desc("count")).limit(3).collect()
+    )
+    top3_share = sum(r["count"] for r in top) / n
+    assert top3_share > 0.10  # Zipf-skewed hot keys
+    log.unpersist()
+
+
+# ---------------------------------------------------------------- merge
+
+
+def _make_table(spark, tmp_path, n_buckets=16):
+    return LakeTable.create(
+        spark, str(tmp_path / "repos"), REPO_SCHEMA_V1, ["repo", "path"], n_buckets=n_buckets
+    )
+
+
+def test_single_batch_merge_matches_oracle(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    log = generate_change_log(spark, SPEC)
+    stats = merge_batch(t, log, "b0")
+    assert not stats.skipped
+    assert stats.buckets_touched > 0
+    expected = _rows(expected_final_state(spark, SPEC))
+    assert _rows(t.read()) == expected
+    # deletes really delete
+    assert t.read().count() == len(expected)
+
+
+def test_merge_reapply_is_noop(spark, tmp_path):
+    t = _make_table(spark, tmp_path)
+    log = generate_change_log(spark, SPEC)
+    merge_batch(t, log, "b0")
+    v = t.snapshot.version
+    stats2 = merge_batch(t, log, "b0")
+    assert stats2.skipped
+    assert t.snapshot.version == v
+
+
+def test_merge_prunes_buckets(spark, tmp_path):
+    """A batch touching one key must rewrite only that key's bucket."""
+    t = _make_table(spark, tmp_path, n_buckets=16)
+    log = generate_change_log(spark, SPEC)
+    merge_batch(t, log, "b0")
+    one = t.read().limit(1).collect()[0]
+    upd = spark.createDataFrame(
+        [(10**9, "U", one["repo"], one["path"], "newcommit", one["lang"], "new content")],
+        "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
+    )
+    stats = merge_batch(t, upd, "b1")
+    assert stats.buckets_touched == 1
+    got = t.read().filter(
+        (F.col("repo") == one["repo"]) & (F.col("path") == one["path"])
+    ).collect()
+    assert got[0]["commit"] == "newcommit"
+
+
+# --------------------------------------------------- replay & exactly-once
+
+
+def _duckdb_oracle(log_path: str):
+    """Independent engine oracle: LWW replay in DuckDB SQL, with sha256
+    digests (BASELINE.json per-row invariant)."""
+    con = duckdb.connect()
+    return con.execute(
+        f"""
+        WITH dedup AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+            FROM (SELECT DISTINCT lsn, op, repo, path, commit, lang, content
+                  FROM read_parquet('{log_path}/*.parquet'))
+          ) WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT repo, path, commit, lang, sha256(content) AS digest
+        FROM dedup ORDER BY repo, path
+        """
+    ).fetchall()
+
+
+def test_replay_converges_to_duckdb_oracle_sha256(spark, tmp_path):
+    log = generate_change_log(spark, SPEC)
+    log_path = str(tmp_path / "log.parquet")
+    log.write.parquet(log_path)
+
+    t = _make_table(spark, tmp_path)
+    engine = CdcEngine(t)
+    report = engine.replay(log, batch_size=1000)
+    assert len([b for b in report.batches if not b.skipped]) == 4
+
+    got = sorted(
+        tuple(r)
+        for r in t.read()
+        .select("repo", "path", "commit", "lang", F.sha2("content", 256).alias("digest"))
+        .collect()
+    )
+    assert got == sorted(tuple(r) for r in _duckdb_oracle(log_path))
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    log = generate_change_log(spark, SPEC)
+    t = _make_table(spark, tmp_path)
+    CdcEngine(t).replay(log, batch_size=1000)
+    state1 = _rows(t.read())
+    v1 = t.snapshot.version
+    report2 = CdcEngine(t).replay(log, batch_size=1000)
+    assert all(b.skipped for b in report2.batches)
+    assert t.snapshot.version == v1
+    assert _rows(t.read()) == state1
+
+
+def test_kill_and_resume_from_checkpoint(spark, tmp_path):
+    log = generate_change_log(spark, SPEC)
+    t = _make_table(spark, tmp_path)
+    # "crash" after two batches
+    CdcEngine(t).replay(log, batch_size=1000, max_lsn=1999)
+    assert t.snapshot.last_lsn == 1999
+    # fresh engine instance resumes from the snapshot checkpoint
+    t2 = LakeTable.load(spark, str(tmp_path / "repos"))
+    report = CdcEngine(t2).replay(log, batch_size=1000)
+    applied = [b for b in report.batches if not b.skipped]
+    assert [b.batch_id for b in applied] == ["b2@1000", "b3@1000"]
+    assert _rows(t2.read()) == _rows(expected_final_state(spark, SPEC))
+
+
+def test_lineage_rows_recorded(spark, tmp_path):
+    log = generate_change_log(spark, SPEC)
+    t = _make_table(spark, tmp_path)
+    CdcEngine(t).replay(log, batch_size=2000)
+    lin = t.lineage_df()
+    assert lin.count() > 0
+    agg = lin.agg(
+        F.min("lsn_lo").alias("lo"), F.max("lsn_hi").alias("hi"),
+        F.sum("rows_upserted").alias("up"),
+    ).collect()[0]
+    assert agg["lo"] >= 0 and agg["hi"] <= SPEC.n_events - 1
+    assert agg["up"] > 0
+    # lineage covers both committed snapshots
+    assert lin.select("snapshot_version").distinct().count() == 2
+
+
+# ------------------------------------------------------- schema evolution
+
+
+def test_schema_evolution_mid_log(spark, tmp_path):
+    """Events from lsn 2000 carry schema v2 (adds stars int, default 0).
+    The ALTER lands before batch b2; old rows read back with the default."""
+    spec = ChangeLogSpec(n_events=4000, n_keys=300, schema_v2_from_lsn=2000)
+    log = generate_change_log(spark, spec)
+    t = _make_table(spark, tmp_path)
+    v2 = TableSchema(
+        REPO_SCHEMA_V1.fields + [Field(6, "stars", "int", default=0)], schema_version=2
+    )
+    registry = {1: REPO_SCHEMA_V1, 2: v2}
+    engine = CdcEngine(t, schema_registry=registry)
+    engine.replay(log, batch_size=1000)
+
+    assert t.snapshot.schema.schema_version == 2
+    final = t.read()
+    assert "stars" in final.columns
+    # keys last touched before lsn 2000 have the backfilled default
+    old = final.join(
+        expected_final_state(spark, spec).filter(F.col("lsn") < 2000).select("repo", "path"),
+        ["repo", "path"],
+    )
+    assert old.count() > 0
+    assert old.filter(F.col("stars") != 0).count() == 0
+    # keys written at v2 carry real values
+    assert final.filter(F.col("stars") > 0).count() > 0
+    # values match the independent LWW oracle
+    exp = expected_final_state(spark, spec)
+    exp_rows = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"],
+         r["stars"] if r["lsn"] >= 2000 else 0)
+        for r in exp.collect()
+    )
+    got_rows = _rows(final, ("repo", "path", "commit", "lang", "content", "stars"))
+    assert got_rows == exp_rows

@@ -1,0 +1,131 @@
+"""Lake table format: snapshots, atomic commits, schema evolution, vacuum."""
+
+import os
+
+import pytest
+
+from panorama_elt_spark.lakehouse import (
+    AddColumn,
+    CommitConflict,
+    Field,
+    LakeTable,
+    RenameColumn,
+    TableSchema,
+    WidenColumn,
+    diff_schemas,
+)
+from panorama_elt_spark.lakehouse.schema import SchemaEvolutionError, apply_alters
+
+SCHEMA_V1 = TableSchema(
+    [
+        Field(1, "repo", "string", False),
+        Field(2, "path", "string", False),
+        Field(3, "commit", "string"),
+        Field(4, "lang", "string"),
+        Field(5, "content", "string"),
+    ],
+    schema_version=1,
+)
+
+
+def test_create_and_read_empty(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA_V1, ["repo", "path"], n_buckets=8)
+    assert t.read().count() == 0
+    assert t.snapshot.version == 0
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA_V1, ["repo", "path"], n_buckets=8)
+    df = spark.createDataFrame(
+        [("o/r1", "a.py", "c1", "py", "x"), ("o/r2", "b.py", "c2", "py", "y")],
+        SCHEMA_V1.to_struct(),
+    )
+    t.append(df)
+    got = {tuple(r) for r in t.read().collect()}
+    assert got == {("o/r1", "a.py", "c1", "py", "x"), ("o/r2", "b.py", "c2", "py", "y")}
+    # manifest rows match data
+    assert sum(f.rows for f in t.snapshot.files) == 2
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA_V1, ["repo", "path"])
+    stale = t.snapshot
+    t.alter_schema(SCHEMA_V1)  # bump version under the stale reader
+    with pytest.raises(CommitConflict):
+        t.commit_replace_buckets(stale, set(), [])
+
+
+def test_schema_diff_add_widen_rename():
+    v2 = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "language", "string"),  # renamed
+            Field(5, "content", "string"),
+            Field(6, "stars", "bigint", default=0),  # added
+        ],
+        schema_version=2,
+    )
+    ops = diff_schemas(SCHEMA_V1, v2)
+    kinds = {type(o) for o in ops}
+    assert kinds == {AddColumn, RenameColumn}
+    evolved = apply_alters(SCHEMA_V1, ops, 2)
+    assert evolved.field_by_name("language").id == 4
+    assert evolved.field_by_name("stars").default == 0
+
+    v3 = apply_alters(
+        evolved, [WidenColumn(6, "bigint", "bigint")], 3
+    )
+    assert v3.field_by_name("stars").type == "bigint"
+
+
+def test_schema_diff_rejects_drop_and_narrow():
+    dropped = TableSchema(SCHEMA_V1.fields[:-1], 2)
+    with pytest.raises(SchemaEvolutionError):
+        diff_schemas(SCHEMA_V1, dropped)
+    narrowed = TableSchema(
+        [Field(1, "repo", "string", False), Field(2, "path", "string", False),
+         Field(3, "commit", "string"), Field(4, "lang", "string"),
+         Field(5, "content", "int")],
+        2,
+    )
+    with pytest.raises(SchemaEvolutionError):
+        diff_schemas(SCHEMA_V1, narrowed)
+
+
+def test_old_files_readable_after_evolution(spark, tmp_path):
+    """Add + rename: files written under v1 read back under the v2 schema
+    with backfilled default and renamed column — no data rewrite."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA_V1, ["repo", "path"], n_buckets=4)
+    t.append(
+        spark.createDataFrame([("o/r", "a.py", "c1", "py", "x")], SCHEMA_V1.to_struct())
+    )
+    v2 = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "language", "string"),
+            Field(5, "content", "string"),
+            Field(6, "stars", "bigint", default=7),
+        ],
+        schema_version=2,
+    )
+    t.alter_schema(v2)
+    row = t.read().collect()[0].asDict()
+    assert row == {
+        "repo": "o/r", "path": "a.py", "commit": "c1",
+        "language": "py", "content": "x", "stars": 7,
+    }
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA_V1, ["repo", "path"], n_buckets=4)
+    df1 = spark.createDataFrame([("o/r", "a.py", "c1", "py", "x")], SCHEMA_V1.to_struct())
+    s1 = t.append(df1)
+    df2 = spark.createDataFrame([("o/r", "b.py", "c2", "py", "y")], SCHEMA_V1.to_struct())
+    t.append(df2)
+    assert t.read(version=s1.version).count() == 1
+    assert t.read().count() == 2
+    assert t.vacuum() == 0  # appends never orphan files
