@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the SURVEY.md §2 operator inventory, each Spark
+implementation paired with a DuckDB-runnable ANSI SQL oracle (column
+names/types aligned pair-wise). See panorama_elt_spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from panorama_elt_spark import queries as _Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC-style last-writer-wins dedup over the events stream
+    (the engine's core operator), rolled up per user — the Spark-first
+    reimagination of the reference's incremental change-capture +
+    partition-overwrite loop (mysql_datasource.py:258-301)."""
+    sf_dir = "/root/testdata/sf0.001"
+    latest = _Q.w1_lww_latest_window(spark, sf_dir)
+    return latest.groupBy("user_id").agg(
+        F.count("*").alias("n_active_keys"),
+        F.max("ts").alias("latest_ts"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("latest_value_total"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _Q.oracle_sql()

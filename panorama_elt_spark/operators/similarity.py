@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, dot products via ``zip_with``/``aggregate`` in the
+  JVM (no Python), rank per query. At 100 TB corpus scale this is one
+  broadcast join + one window over |corpus|×|queries| rows — the
+  baseline every ANN variant is measured against.
+* ``cosine_topk_lsh`` — the scale path: random-hyperplane LSH (signs of
+  dot products with deterministic hash-derived planes) buckets the
+  corpus; each query probes only its bucket (and the exact rerank runs
+  inside buckets). Recall < 1 by construction; the bench compares both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    sim = (
+        c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def plane_signs(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix from md5 parity — a pure
+    constant (computed once on the driver, broadcast as literals), so no
+    per-row hashing and the same planes are reproducible in any engine."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed}|{p}|{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(v · h_p), planes
+    from ``plane_signs`` (sign-pattern constants folded by Catalyst)."""
+    signs = plane_signs(dim, n_planes, seed)
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(s) for s in signs[p]])
+        proj = dot(_to_double(vec), plane)
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact rerank within each query's LSH bucket.
+    Same output shape as ``cosine_topk``; recall traded for a
+    |bucket|-bounded join instead of the full cross product."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    sim = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale text/training-data pipelines.
+
+All hot-path logic is built-in column expressions (whole-stage codegen,
+zero Python). The portable 56-bit hash ``md5hash56`` (first 14 hex chars
+of md5 → bigint) is engine-agnostic, so every operator here has an exact
+DuckDB oracle.
+
+Scale notes (100 TB):
+* exact dedup — one partial-aggregated groupBy on the digest; shuffle
+  carries (digest, min_id, count), not documents.
+* MinHash LSH — per-doc signatures are narrow (no shuffle); candidate
+  generation explodes to (band, bucket) and self-joins *within buckets
+  only*, so the join input is |docs|×n_bands rows and the quadratic blow
+  up is confined to collision buckets. Hot buckets (boilerplate docs) are
+  the skew risk — cap bucket width or salt in a second stage.
+* verification — exact n-gram Jaccard runs only on LSH candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def md5hash56(col: Column, salt: str = "") -> Column:
+    """Deterministic 56-bit hash portable across engines:
+    bigint(first 14 hex chars of md5(salt || col))."""
+    src = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(src), 1, 14), 16, 10).cast("bigint")
+
+
+def word_tokens(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles; empty array when the doc has < k words."""
+    w = word_tokens(text)
+    idx = F.when(
+        F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(k)]
+        ),
+    )
+
+
+def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content digest: canonical id = min id.
+    Returns (digest, canonical_id, n_dups)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 8, shingle_k: int = 3
+) -> list[Column]:
+    """MinHash over word shingles: sig[i] = min over shingles of
+    hash_i(shingle), with hash_i = md5hash56 salted by i."""
+    sh = word_shingles(text, shingle_k)
+
+    def hash_fn(i: int):
+        # NB: a plain `lambda s, i=i:` would be seen by PySpark as a
+        # 2-arg (element, index) lambda — closure factory instead.
+        return lambda s: md5hash56(s, f"{i}|")
+
+    return [
+        F.array_min(F.transform(sh, hash_fn(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding → candidate pairs → exact shingle-Jaccard
+    verification. Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+
+    rows_per_band = n_hashes / n_bands; a pair collides in a band iff
+    that band's signature slice matches exactly.
+    """
+    rows_per_band = n_hashes // n_bands
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("shingles"),
+        *minhash_signature(F.col(text_col), n_hashes, shingle_k),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", "shingles", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    ).alias("jaccard")
+    return (
+        cand.select("doc_a", "doc_b", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over word tokens: bit b is set iff the sum of
+    (+1/-1) votes from each token's hash bit b is positive."""
+    tokens = word_tokens(text)
+    th = F.transform(tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
+
+    def vote_fn(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(16):
+        vote = F.aggregate(th, F.lit(0), vote_fn(b))
+        bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def simhash_near_dupes(
+    df: DataFrame, id_col: str, text_col: str, block_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked by
+    ``block_col`` to bound the self-join (at scale: block on simhash
+    prefix bands instead)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        simhash16(F.col(text_col)).alias("simhash"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long")
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham,
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

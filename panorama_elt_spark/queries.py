@@ -1,0 +1,659 @@
+"""Query registry: every SURVEY.md §2 operator expressed twice —
+as a Spark-first DataFrame pipeline and as an ANSI/DuckDB oracle SQL
+string. The driver cross-checks them (row count + schema + value hash),
+so column names and types are aligned pair-wise.
+
+Naming maps to the SURVEY operator inventory: j* joins, a* aggregates,
+p* predicates, w* window/LWW, k* sink/view semantics, f* scalar
+functions, d* dedup suite, s* similarity search, t* text analysis,
+m* multimodal, cdc_* the engine itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.normalize import escape_control_chars
+from .functions.typed_view import raw_string_columns, typed_view_columns
+from .operators import multimodal, similarity, text, textdedup
+from .operators.relational import (
+    anti_join,
+    argminmax_summary,
+    changed_keys,
+    conditional_count_pivot,
+    fill_parents,
+    left_join_chain,
+    lww_latest_window,
+    semi_join,
+)
+from .sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring the Spark expressions
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_SQL_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)] "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+def _sql_h56(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 14) AS BIGINT)"
+
+
+def _sql_lang_score(lang_words: list[str]) -> str:
+    lits = ", ".join(f"'{w}'" for w in lang_words)
+    return f"len(list_filter(w, t -> list_contains([{lits}], t)))"
+
+
+# ---------------------------------------------------------------------------
+# J1 — multi-way LEFT join chain with scalar functions F4-F7
+# (openedx_view_enrollments.sql:40-49)
+# ---------------------------------------------------------------------------
+
+def j1_left_join_chain(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    joined = left_join_chain(
+        li,
+        [
+            (load_table(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey")),
+            (load_table(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey")),
+            (load_table(spark, sf, "nation"), F.col("c_nationkey") == F.col("n_nationkey")),
+            (load_table(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey")),
+            (load_table(spark, sf, "part"), F.col("l_partkey") == F.col("p_partkey")),
+            (load_table(spark, sf, "supplier"), F.col("l_suppkey") == F.col("s_suppkey")),
+        ],
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "c_name",
+        "n_name",
+        "r_name",
+        "p_brand",
+        "s_name",
+        F.datediff(F.to_date(F.lit("1998-12-01")), F.col("o_orderdate")).alias("order_age_days"),
+        F.col("o_orderpriority").like("1%").alias("is_urgent"),
+        F.round(F.col("l_discount") * 100, 1).alias("discount_pct"),
+        (F.col("o_orderstatus") == "F").alias("status_f"),
+    )
+
+
+_J1_SQL = """
+SELECT l.l_orderkey, l.l_linenumber, c.c_name, n.n_name, r.r_name, p.p_brand, s.s_name,
+       CAST(date_diff('day', o.o_orderdate, DATE '1998-12-01') AS INTEGER) AS order_age_days,
+       o.o_orderpriority LIKE '1%' AS is_urgent,
+       round(l.l_discount * 100, 1) AS discount_pct,
+       (o.o_orderstatus = 'F') AS status_f
+FROM lineitem l
+LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+LEFT JOIN part p     ON l.l_partkey = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+# ---------------------------------------------------------------------------
+# A1 — count_if pivot (openedx_view_student_courseaccessrole.sql:1-12)
+# ---------------------------------------------------------------------------
+
+def a1_conditional_count_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return conditional_count_pivot(
+        orders,
+        ["o_custkey"],
+        {
+            "n_open": F.col("o_orderstatus") == "O",
+            "n_finished": F.col("o_orderstatus") == "F",
+            "n_pending": F.col("o_orderstatus") == "P",
+            "n_urgent": F.col("o_orderpriority").like("1%"),
+        },
+        extra_aggs={
+            "n_orders": F.count("*"),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+
+
+_A1_SQL = """
+SELECT o_custkey,
+       count_if(o_orderstatus = 'O') AS n_open,
+       count_if(o_orderstatus = 'F') AS n_finished,
+       count_if(o_orderstatus = 'P') AS n_pending,
+       count_if(o_orderpriority LIKE '1%') AS n_urgent,
+       count(*) AS n_orders,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# A2+A3 — argmin/argmax + ordered list-agg→CSV
+# (openedx_view_student_manualenrollment.sql:1-16)
+# ---------------------------------------------------------------------------
+
+def a2_argminmax_csv_agg(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return argminmax_summary(
+        events,
+        ["user_id"],
+        order_col="event_id",
+        firsts={"first_type": "event_type"},
+        lasts={"last_type": "event_type"},
+        csv_cols={"types_csv": "event_type"},
+        extra_aggs={
+            "n_events": F.count("*"),
+            "first_ts": F.min("ts"),
+            "last_ts": F.max("ts"),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)"),
+        },
+    )
+
+
+_A2_SQL = """
+SELECT user_id,
+       arg_min(event_type, event_id) AS first_type,
+       arg_max(event_type, event_id) AS last_type,
+       string_agg(event_type, ',' ORDER BY event_id) AS types_csv,
+       count(*) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM events GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# P4+P6 — incremental change discovery: distinct keys in lookback window
+# (mysql_datasource.py:258-272)
+# ---------------------------------------------------------------------------
+
+def p4_changed_keys(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return changed_keys(events, ["user_id", "event_type"], "ts", "INTERVAL 2 HOURS")
+
+
+_P4_SQL = """
+SELECT DISTINCT user_id, event_type
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+# ---------------------------------------------------------------------------
+# W1/W2 — last-writer-wins (the CDC dedup core, two physical strategies)
+# ---------------------------------------------------------------------------
+
+def w1_lww_latest_window(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return lww_latest_window(
+        events.select("user_id", "event_type", "event_id", "ts", "value"),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    )
+
+
+_W1_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def w2_lww_latest_agg(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    packed = F.max_by(
+        F.struct(F.col("event_id"), F.col("ts"), F.col("value")),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("w")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(packed)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.event_id").alias("last_event_id"),
+            F.col("w.ts").alias("last_ts"),
+            F.col("w.value").alias("last_value"),
+        )
+    )
+
+
+_W2_SQL = """
+SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts, value AS last_value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# K5 — typed view: raw all-string layer → TRY_CAST typed view
+# (panorama_datalake.py:372-415) + F9 microsecond formatting round-trip
+# ---------------------------------------------------------------------------
+
+def k5_typed_view_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    raw = li.select(raw_string_columns(li))
+    return raw.select(
+        typed_view_columns(
+            {
+                "l_orderkey": "BIGINT",
+                "l_linenumber": "INT",
+                "l_quantity": "DOUBLE",
+                "l_returnflag": "VARCHAR",
+                "l_shipdate": "DATETIME",
+            }
+        )
+    )
+
+
+_K5_SQL = """
+SELECT TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS l_orderkey,
+       TRY_CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS l_linenumber,
+       TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS l_quantity,
+       NULLIF(CAST(l_returnflag AS VARCHAR), 'NULL') AS l_returnflag,
+       try_strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f') AS l_shipdate
+FROM lineitem
+"""
+
+# ---------------------------------------------------------------------------
+# J3 — semi / anti joins (the Mongo $in semi-join niche)
+# ---------------------------------------------------------------------------
+
+def j3_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return semi_join(customer, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+_J3_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j3b_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return anti_join(customer, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+_J3B_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+# ---------------------------------------------------------------------------
+# J4 — bounded parent-child tree fill (course_structures fill_parents)
+# ---------------------------------------------------------------------------
+
+def j4_tree_fill(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation").join(
+        F.broadcast(region), on=F.col("n_regionkey") == F.col("r_regionkey"), how="left"
+    )
+    customer = load_table(spark, sf, "customer").join(
+        F.broadcast(load_table(spark, sf, "nation")),
+        on=F.col("c_nationkey") == F.col("n_nationkey"),
+        how="left",
+    )
+    return fill_parents(
+        [
+            (region, "r_name", None),
+            (nation, "n_name", "r_name"),
+            (customer, "c_name", "n_name"),
+        ]
+    )
+
+
+_J4_SQL = """
+SELECT r_name AS node, CAST(NULL AS VARCHAR) AS parent, CAST(0 AS INTEGER) AS level FROM region
+UNION ALL
+SELECT n.n_name, r.r_name, 1 FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT c.c_name, n.n_name, 2 FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+# ---------------------------------------------------------------------------
+# F8 — control-char escaping + sha256 digest (mysql_datasource.py:38-51)
+# ---------------------------------------------------------------------------
+
+def f8_normalize_digest(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    norm = escape_control_chars(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("digest"),
+        F.length(norm).cast("bigint").alias("n_norm_chars"),
+    )
+
+
+_F8_SQL = """
+SELECT doc_id,
+       sha256(replace(replace(replace(text, chr(92), chr(92)||chr(92)), chr(13), chr(92)||'r'), chr(10), chr(92)||'n')) AS digest,
+       CAST(length(replace(replace(replace(text, chr(92), chr(92)||chr(92)), chr(13), chr(92)||'r'), chr(10), chr(92)||'n')) AS BIGINT) AS n_norm_chars
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup by content digest
+# ---------------------------------------------------------------------------
+
+def d1_exact_dedupe(spark: SparkSession, sf: str) -> DataFrame:
+    return textdedup.exact_dedupe(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+_D1_SQL = """
+SELECT sha256(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY sha256(text)
+"""
+
+# ---------------------------------------------------------------------------
+# D2/D3 — MinHash signatures + LSH candidate pairs with exact Jaccard
+# ---------------------------------------------------------------------------
+
+_N_HASHES, _N_BANDS = 8, 4
+
+
+def d2_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", *textdedup.minhash_signature(F.col("text"), _N_HASHES)
+    )
+
+
+def _d2_sql() -> str:
+    hs = ",\n       ".join(
+        "list_min([{h} for s in sh]) AS h{i}".format(h=_sql_h56(f"'{i}|' || s"), i=i)
+        for i in range(_N_HASHES)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t)
+SELECT doc_id,
+       {hs}
+FROM s
+"""
+
+
+def d3_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textdedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, n_bands=_N_BANDS, jaccard_threshold=0.0
+    )
+
+
+def _d3_sql() -> str:
+    rows_per_band = _N_HASHES // _N_BANDS
+    hs = ", ".join(
+        "list_min([{h} for s in sh]) AS h{i}".format(h=_sql_h56(f"'{i}|' || s"), i=i)
+        for i in range(_N_HASHES)
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, sh, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh0 FROM t),
+sd AS (SELECT doc_id, list_distinct(sh0) AS sh FROM s),
+sigs AS (SELECT doc_id, sh, {hs} FROM sd),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+FROM cand
+"""
+
+# ---------------------------------------------------------------------------
+# D4 — SimHash (16-bit)
+# ---------------------------------------------------------------------------
+
+def d4_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", textdedup.simhash16(F.col("text")).cast("int").alias("simhash")
+    )
+
+
+def _d4_sql() -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_sum([CASE WHEN ((h>>{b})&1)=1 THEN 1 ELSE -1 END for h in th]) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+h AS (SELECT doc_id, [CAST('0x'||substr(md5(tk),1,4) AS INTEGER) for tk in w] AS th FROM t)
+SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM h
+"""
+
+# ---------------------------------------------------------------------------
+# S1/S2 — similarity search: exact brute-force top-k and LSH-bucketed
+# ---------------------------------------------------------------------------
+
+_ANN_K, _ANN_NQ, _DIM, _N_PLANES = 10, 10, 64, 8
+
+
+def s1_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K
+    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+_S1_SQL = f"""
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_ANN_NQ}),
+s AS (
+  SELECT qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q JOIN e ON e.vec_id <> qid
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= {_ANN_K}
+"""
+
+
+def s2_ann_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K, dim=_DIM, n_planes=_N_PLANES
+    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+def _s2_sql() -> str:
+    signs = similarity.plane_signs(_DIM, _N_PLANES)
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in signs[p])}]) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, v, {bucket_terms} AS bucket
+  FROM (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < {_ANN_NQ}),
+s AS (
+  SELECT qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q JOIN e USING (bucket) WHERE e.vec_id <> qid
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= {_ANN_K}
+"""
+
+# ---------------------------------------------------------------------------
+# T1 — text profile: language-ID, token counts, quality, fingerprint
+# ---------------------------------------------------------------------------
+
+def t1_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    prof = text.text_profile(docs, "doc_id", "text", "n_chars")
+    return prof.select(
+        "doc_id",
+        "lang_pred",
+        F.col("n_tokens_ws").cast("bigint").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+        "quality",
+        "fingerprint",
+    )
+
+
+def _t1_sql() -> str:
+    scores = {
+        lang: _sql_lang_score(words) for lang, words in text.LANG_STOPWORDS.items()
+    }
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    best = "greatest(s_en, s_de, s_fr, s_es, s_zh)"
+    lang_case = (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        + " ".join(
+            f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in ["en", "de", "fr", "es", "zh"]
+        )
+        + " ELSE 'und' END"
+    )
+    stop_hits = "(s_en + s_de + s_fr + s_es + s_zh)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars, {_SQL_TOKENS} AS w FROM documents
+),
+sc AS (
+  SELECT doc_id, text, n_chars, w, {score_cols} FROM t
+),
+p AS (
+  SELECT doc_id, text, n_chars, w,
+         {lang_case} AS lang_pred,
+         CAST(len(w) AS BIGINT) AS n_tokens_ws,
+         CAST(len(regexp_extract_all(text, '{text.BPE_ISH_TOKEN_RE}')) AS BIGINT) AS n_tokens_bpe,
+         round(0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
+             + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{text.PUNCT_RE}')) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)))
+             + 0.3 * least(1.0, CAST({stop_hits} AS DOUBLE) / greatest(CAST(len(w) AS DOUBLE), 1.0) * 5.0), 6) AS quality,
+         CASE WHEN len(w) >= 3
+              THEN list_min([{_sql_h56("sg")} for sg in [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]])
+              ELSE {_sql_h56("text")} END AS fingerprint
+  FROM sc
+)
+SELECT doc_id, lang_pred, n_tokens_ws, n_tokens_bpe, quality, fingerprint FROM p
+"""
+
+# ---------------------------------------------------------------------------
+# M1 — multimodal binary plumbing (mapInPandas feature extraction)
+# ---------------------------------------------------------------------------
+
+def m1_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media)
+
+
+_M1_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS digest,
+       CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) / 4294967296.0 AS fake_dim0
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# CDC — the engine itself, run end-to-end on a generated log
+# (non-SQL-expressible: stateful multi-batch replay with checkpoint +
+#  schema registry; driver records rows-only check)
+# ---------------------------------------------------------------------------
+
+def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
+    log = generate_change_log(spark, spec)
+    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    table = LakeTable.create(spark, root + "/repos", schema, ["repo", "path"], n_buckets=32)
+    CdcEngine(table).replay(log, batch_size=5_000)
+    return table.read().select(
+        "repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        "j1_left_join_chain": j1_left_join_chain,
+        "a1_conditional_count_pivot": a1_conditional_count_pivot,
+        "a2_argminmax_csv_agg": a2_argminmax_csv_agg,
+        "p4_changed_keys": p4_changed_keys,
+        "w1_lww_latest_window": w1_lww_latest_window,
+        "w2_lww_latest_agg": w2_lww_latest_agg,
+        "k5_typed_view_roundtrip": k5_typed_view_roundtrip,
+        "j3_semi_join": j3_semi_join,
+        "j3b_anti_join": j3b_anti_join,
+        "j4_tree_fill": j4_tree_fill,
+        "f8_normalize_digest": f8_normalize_digest,
+        "d1_exact_dedupe": d1_exact_dedupe,
+        "d2_minhash_signatures": d2_minhash_signatures,
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "d4_simhash": d4_simhash,
+        "s1_ann_cosine_topk": s1_ann_cosine_topk,
+        "s2_ann_cosine_lsh": s2_ann_cosine_lsh,
+        "t1_text_profile": t1_text_profile,
+        "m1_multimodal_features": m1_multimodal_features,
+        "cdc_replay_state": cdc_replay_state,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "j1_left_join_chain": _J1_SQL,
+        "a1_conditional_count_pivot": _A1_SQL,
+        "a2_argminmax_csv_agg": _A2_SQL,
+        "p4_changed_keys": _P4_SQL,
+        "w1_lww_latest_window": _W1_SQL,
+        "w2_lww_latest_agg": _W2_SQL,
+        "k5_typed_view_roundtrip": _K5_SQL,
+        "j3_semi_join": _J3_SQL,
+        "j3b_anti_join": _J3B_SQL,
+        "j4_tree_fill": _J4_SQL,
+        "f8_normalize_digest": _F8_SQL,
+        "d1_exact_dedupe": _D1_SQL,
+        "d2_minhash_signatures": _d2_sql(),
+        "d3_minhash_lsh_pairs": _d3_sql(),
+        "d4_simhash": _d4_sql(),
+        "s1_ann_cosine_topk": _S1_SQL,
+        "s2_ann_cosine_lsh": _s2_sql(),
+        "t1_text_profile": _t1_sql(),
+        "m1_multimodal_features": _M1_SQL,
+        # cdc_replay_state intentionally has no oracle (stateful replay)
+    }

@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet
+tables; compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from panorama_elt_spark import queries as Q  # noqa: E402
+from panorama_elt_spark.session import get_spark  # noqa: E402
+from panorama_elt_spark.sources.testdata import TABLES  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = Q.queries(), Q.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = sdf.collect()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: (no oracle) rows={len(s_rows)}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            failures += 1
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            failures += 1
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            failures += 1
+            continue
+        ns, nd = norm_rows(s_cols, [tuple(r) for r in s_rows]), norm_rows(d_cols, d_rows)
+        if ns != nd:
+            diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+            print(f"FAIL {name}: value mismatch; first diffs:")
+            for a, b in diff:
+                print(f"   spark: {a}\n   duck:  {b}")
+            failures += 1
+            continue
+        print(f"ok   {name}: rows={len(s_rows)}")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
