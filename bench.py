@@ -1,0 +1,100 @@
+"""Benchmark harness (driver contract, TESTDATA.md / BASELINE.md).
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], then the CDC replay throughput benchmark at
+two parallelism levels (local[N/4] vs local[N], fresh subprocess each)
+to evidence the north rule's scaling-efficiency criterion in-sandbox.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total query secs>, "unit": "sec",
+   "queries": {name: secs}, "sf": ...,
+   "cdc_replay": {"events":..., "local_lo": {...}, "local_hi": {...},
+                   "scaling_efficiency": ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float]:
+    from panorama_elt_spark import queries as Q
+    from panorama_elt_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="panorama-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in Q.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+    spark.stop()
+    return timings, total
+
+
+def run_replay_level(cpus: int, events: int) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "panorama_elt_spark.bench_replay",
+            "--cpus", str(cpus), "--events", str(events),
+            "--keys", str(max(events // 10, 1000)), "--batches", "4",
+            "--repeats", "3",
+        ],
+        capture_output=True, text=True, cwd=REPO, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    timings, total = run_queries(sf_dir, cpus)
+
+    lo_cpus = max(cpus // 4, 1)
+    lo = run_replay_level(lo_cpus, events)
+    hi = run_replay_level(cpus, events)
+    efficiency = round(
+        (hi["events_per_sec"] / lo["events_per_sec"]) / (cpus / lo_cpus), 3
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_plus_cdc_replay",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc_replay": {
+                    "events": events,
+                    "local_lo": lo,
+                    "local_hi": hi,
+                    "scaling_efficiency": efficiency,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..lakehouse.schema import TableSchema, diff_schemas, spark_type
 from ..lakehouse.table import LakeTable
-from .dedupe import lww_dedupe_agg
 from .merge import MergeStats, merge_batch
 
 
@@ -80,11 +79,13 @@ class CdcEngine:
         self,
         table: LakeTable,
         schema_registry: dict[int, TableSchema] | None = None,
-        dedupe=lww_dedupe_agg,
+        pre_dedupe=None,
     ):
         self.table = table
         self.registry = schema_registry or {}
-        self.dedupe = dedupe
+        # None → the merge's fused dedup+merge aggregate (the fast path);
+        # a dedupe fn (e.g. lww_dedupe_salted) forces a standalone pass.
+        self.pre_dedupe = pre_dedupe
 
     def _evolve_to(self, version: int) -> None:
         """Catalog-diff + ALTER up to ``version`` (gated: lands before the
@@ -111,7 +112,7 @@ class CdcEngine:
                 batch_df, self.table.snapshot.schema, self.registry
             )
         return merge_batch(
-            self.table, batch_df, batch_id, dedupe=self.dedupe
+            self.table, batch_df, batch_id, pre_dedupe=self.pre_dedupe
         )
 
     def replay(

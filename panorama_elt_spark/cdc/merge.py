@@ -7,31 +7,54 @@ Semantics (the reference's upsert primitive generalized to row grain,
     WHEN MATCHED            THEN UPDATE *
     WHEN NOT MATCHED AND op<>'D' THEN INSERT *
 
-Physical plan, tuned for 10^10-event scale:
+Physical plan — ONE shuffle per batch, tuned for 10^10-event scale:
 
-1. **Dedup first, then merge** (SURVEY.md §7.4(2)): the batch collapses
-   to ≤ #distinct-keys rows *before* touching the table, so the merge
-   join's streamed side is bounded by keyspace, not event count, and key
-   skew never reaches the join.
-2. **Bucket pruning**: only buckets hit by the batch's keys are read and
-   rewritten. A batch touching k of n buckets costs O(k/n) of the table.
-3. The anti-join that drops overwritten target rows co-partitions on the
-   same key columns the table is bucketed by; AQE picks broadcast when
-   the deduped batch is small (the common case), else a shuffled hash
-   join with skew splitting.
+1. **Fused dedup+merge aggregate.** Existing target rows (only the
+   affected buckets, tagged ``lsn = -1``) are unioned with the raw batch
+   events, then a single ``groupBy(keys).agg(max_by(payload, lsn))``
+   resolves duplicates, update chains, AND the merge match in one
+   operator: the max-LSN row per key wins; if it is a delete the key is
+   dropped; if it is the tag row the target row survives unchanged.
+   The hash aggregate gets *map-side partial aggregation*, so a hot key
+   collapses to ≤ one row per map partition before the exchange — the
+   built-in answer to key skew (no join ever sees the raw event stream).
+2. **Exchange = bucket layout.** The aggregate's exchange is forced to
+   ``n_buckets`` partitions with AQE coalescing off, so shuffle
+   partition id == ``pmod(hash(keys), n_buckets)`` == storage bucket id
+   (``bucket_expr`` uses the same Murmur3 family as HashPartitioning).
+   The write then emits exactly one file per touched bucket with **no
+   further shuffle**.
+3. **Bucket pruning**: only buckets named by the batch's keys are read
+   and rewritten; a batch touching k of n buckets costs O(k/n) of the
+   table.
 4. Commit is one atomic snapshot swap carrying data files + checkpoint
-   LSN + batch id + lineage (exactly-once: a replayed ``batch_id`` is
-   detected in the snapshot and skipped).
+   LSN + batch id + per-bucket lineage (exactly-once: a replayed
+   ``batch_id`` is detected in the snapshot and skipped).
 """
 
 from __future__ import annotations
 
+import os
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..lakehouse.table import LakeTable, bucket_expr
-from .dedupe import lww_dedupe_agg
+
+_DEBUG_TIMING = os.environ.get("PANORAMA_DEBUG_TIMING", "") == "1"
+
+
+class _Timer:
+    def __init__(self) -> None:
+        self.t = time.monotonic()
+
+    def lap(self, label: str) -> None:
+        if _DEBUG_TIMING:
+            now = time.monotonic()
+            print(f"[merge-timing] {label}: {now - self.t:.2f}s", flush=True)
+            self.t = now
 
 
 @dataclass
@@ -46,6 +69,21 @@ class MergeStats:
     snapshot_version: int = -1
 
 
+@contextmanager
+def _pinned_shuffle(spark, n_partitions: int):
+    """Pin the aggregate exchange to the bucket count (and stop AQE from
+    coalescing it) so shuffle partition id == bucket id for the write."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+
+
 def merge_batch(
     table: LakeTable,
     batch_df: DataFrame,
@@ -53,8 +91,9 @@ def merge_batch(
     *,
     op_col: str = "op",
     lsn_col: str = "lsn",
-    dedupe=lww_dedupe_agg,
+    pre_dedupe=None,
 ) -> MergeStats:
+    timer = _Timer()
     snap = table.snapshot
     if batch_id in snap.committed_batches:
         # exactly-once guard: deterministic batch id already applied
@@ -64,23 +103,28 @@ def merge_batch(
     data_cols = snap.schema.names
     payload_cols = [c for c in data_cols if c not in keys]
 
-    deduped = dedupe(
-        batch_df.select(*keys, op_col, lsn_col, *payload_cols), keys, lsn_col
-    ).withColumn("__b", bucket_expr(keys, snap.n_buckets))
-    deduped = deduped.localCheckpoint(eager=True)  # cut lineage; reused 3x below
+    events = batch_df.select(*keys, *payload_cols, F.col(op_col), F.col(lsn_col).cast("long"))
+    if pre_dedupe is not None:
+        # compat/bench path: explicit standalone dedupe before the merge
+        events = pre_dedupe(events, keys, lsn_col)
 
-    # per-bucket batch stats (tiny: deduped is ≤ #keys rows)
+    # per-bucket batch stats (tiny agg: ≤ n_buckets rows collected);
+    # doubles as affected-bucket discovery for pruning.
     per_bucket = {
         r["__b"]: r
-        for r in deduped.groupBy("__b")
+        for r in events.groupBy(bucket_expr(keys, snap.n_buckets).alias("__b"))
         .agg(
-            F.count("*").alias("keys"),
+            F.count("*").alias("rows_in"),
+            # metrics-only: HLL sketch is one-pass partial-aggregated,
+            # unlike exact count_distinct's two-stage expand
+            F.approx_count_distinct(F.concat_ws("\u0001", *keys)).alias("keys"),
             F.sum((F.col(op_col) == "D").cast("long")).alias("deletes"),
             F.min(lsn_col).alias("lsn_lo"),
             F.max(lsn_col).alias("lsn_hi"),
         )
         .collect()
     }
+    timer.lap("stats_agg")
     affected = set(per_bucket)
     if not affected:
         new_snap = table.commit_replace_buckets(
@@ -88,24 +132,41 @@ def merge_batch(
         )
         return MergeStats(batch_id=batch_id, skipped=False, snapshot_version=new_snap.version)
 
-    target = table.read(buckets=affected)
-    survivors = target.join(deduped.select(*keys), on=keys, how="left_anti")
-    upserts = deduped.filter(F.col(op_col) != "D").select(*data_cols)
-    merged = survivors.unionByName(upserts)
+    # existing rows of the affected buckets, tagged to lose every tie:
+    # any batch event (lsn ≥ 0) beats the resident row (lsn = -1).
+    resident = table.read(buckets=affected).select(
+        *keys,
+        *payload_cols,
+        F.lit("E").alias(op_col),
+        F.lit(-1).cast("long").alias(lsn_col),
+    )
+    unioned = resident.unionByName(events)
 
-    new_version = snap.version + 1
-    new_files = table.write_bucket_files(merged, new_version)
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols], F.col(op_col)), F.col(lsn_col)
+    ).alias("__w")
+    with _pinned_shuffle(table.spark, snap.n_buckets):
+        merged = (
+            unioned.groupBy(*keys)
+            .agg(winner)
+            .filter(F.col(f"__w.{op_col}") != "D")
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+        )
+        new_version = snap.version + 1
+        new_files = table.write_bucket_files(merged, new_version, pre_partitioned=True)
+    timer.lap("merge_write")
 
-    upserted = int(sum(per_bucket[b]["keys"] - per_bucket[b]["deletes"] for b in affected))
-    deleted = int(sum(per_bucket[b]["deletes"] for b in affected))
+    upserted = int(sum(max(r["keys"] - r["deletes"], 0) for r in per_bucket.values()))
+    deleted = int(sum(r["deletes"] for r in per_bucket.values()))
     lineage_rows = [
         {
             "batch_id": batch_id,
             "bucket": int(b),
             "lsn_lo": int(per_bucket[b]["lsn_lo"]),
             "lsn_hi": int(per_bucket[b]["lsn_hi"]),
-            "rows_in": int(per_bucket[b]["keys"]),
-            "rows_upserted": int(per_bucket[b]["keys"] - per_bucket[b]["deletes"]),
+            "rows_in": int(per_bucket[b]["rows_in"]),
+            # keys is an HLL estimate → upserted is approximate (metrics)
+            "rows_upserted": int(max(per_bucket[b]["keys"] - per_bucket[b]["deletes"], 0)),
             "rows_deleted": int(per_bucket[b]["deletes"]),
             "snapshot_version": new_version,
         }
@@ -120,9 +181,11 @@ def merge_batch(
         batch_id=batch_id,
         lineage_rows=lineage_rows,
     )
+    timer.lap("commit")
     return MergeStats(
         batch_id=batch_id,
         skipped=False,
+        rows_in=int(sum(r["rows_in"] for r in per_bucket.values())),
         keys_in_batch=int(sum(r["keys"] for r in per_bucket.values())),
         rows_upserted=upserted,
         rows_deleted=deleted,

@@ -1,0 +1,225 @@
+"""CLI — the ``panorama.py`` command surface re-expressed for the Spark
+engine (reference commands: ``panorama_elt.py:49-493``).
+
+    python -m panorama_elt_spark.cli create-table     --root T --schema s.yaml
+    python -m panorama_elt_spark.cli replay           --root T --log DIR [--batch-size N]
+    python -m panorama_elt_spark.cli stream           --root T --log DIR --checkpoint C
+    python -m panorama_elt_spark.cli table-info       --root T
+    python -m panorama_elt_spark.cli set-tables-fields --parquet F --out s.yaml
+    python -m panorama_elt_spark.cli test-connections --root T [--log DIR]
+    python -m panorama_elt_spark.cli vacuum           --root T
+
+Packaged for ``spark-submit --py-files panorama_elt_spark.zip`` with
+this module as the application (north rule packaging requirement).
+
+Schema YAML (descendant of the reference settings file, §1.3):
+
+    schema_version: 1
+    key_cols: [repo, path]
+    n_buckets: 64
+    fields:
+      - {id: 1, name: repo, type: string, nullable: false}
+      - {id: 6, name: stars, type: int, default: 0}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .lakehouse import Field, LakeTable, TableSchema
+from .session import get_spark
+
+
+def load_schema_yaml(path: str) -> tuple[TableSchema, list[str], int]:
+    import yaml
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    schema = TableSchema(
+        [
+            Field(
+                f["id"], f["name"], f["type"],
+                f.get("nullable", True), f.get("default"),
+            )
+            for f in doc["fields"]
+        ],
+        doc.get("schema_version", 1),
+    )
+    return schema, doc["key_cols"], doc.get("n_buckets", 64)
+
+
+def cmd_create_table(args) -> int:
+    spark = get_spark("panorama-create")
+    schema, key_cols, n_buckets = load_schema_yaml(args.schema)
+    LakeTable.create(spark, args.root, schema, key_cols, n_buckets=n_buckets)
+    print(f"created table at {args.root} (schema v{schema.schema_version}, "
+          f"keys={key_cols}, buckets={n_buckets})")
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from .cdc import CdcEngine
+
+    spark = get_spark("panorama-replay")
+    table = LakeTable.load(spark, args.root)
+    registry = None
+    if args.schema_registry:
+        registry = {}
+        for p in args.schema_registry:
+            schema, _, _ = load_schema_yaml(p)
+            registry[schema.schema_version] = schema
+    log = spark.read.parquet(args.log)
+    engine = CdcEngine(table, schema_registry=registry)
+    report = engine.replay(log, batch_size=args.batch_size)
+    applied = [b for b in report.batches if not b.skipped]
+    print(json.dumps({
+        "batches_applied": len(applied),
+        "batches_skipped": len(report.batches) - len(applied),
+        "events_read": report.events_read,
+        "wall_secs": round(report.wall_secs, 2),
+        "events_per_sec": round(report.events_per_sec, 1),
+        "last_lsn": table.snapshot.last_lsn,
+        "snapshot_version": table.snapshot.version,
+    }))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from .streaming import stream_changelog_to_table
+
+    spark = get_spark("panorama-stream")
+    table = LakeTable.load(spark, args.root)
+    q = stream_changelog_to_table(
+        spark, args.log, table, args.checkpoint,
+        trigger_available_now=not args.continuous,
+    )
+    q.awaitTermination()
+    print(f"stream drained; table at snapshot v{table.snapshot.version}")
+    return 0
+
+
+def cmd_table_info(args) -> int:
+    spark = get_spark("panorama-info")
+    table = LakeTable.load(spark, args.root)
+    snap = table.snapshot
+    print(json.dumps({
+        "version": snap.version,
+        "schema_version": snap.schema.schema_version,
+        "fields": [f.to_dict() for f in snap.schema.fields],
+        "key_cols": snap.key_cols,
+        "n_buckets": snap.n_buckets,
+        "n_files": len(snap.files),
+        "rows": sum(f.rows for f in snap.files),
+        "last_lsn": snap.last_lsn,
+        "committed_batches": len(snap.committed_batches),
+        "lineage_rows": len(snap.lineage),
+    }, indent=2))
+    return 0
+
+
+def cmd_set_tables_fields(args) -> int:
+    """Schema introspection → YAML (reference ``set-tables-fields``,
+    ``panorama_elt.py:438-470`` / ``mysql_datasource.py:150-170``)."""
+    import yaml
+
+    spark = get_spark("panorama-introspect")
+    df = spark.read.parquet(args.parquet)
+    fields = [
+        {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for i, f in enumerate(df.schema.fields)
+    ]
+    doc = {
+        "schema_version": 1,
+        "key_cols": args.key_cols.split(",") if args.key_cols else [fields[0]["name"]],
+        "n_buckets": 64,
+        "fields": fields,
+    }
+    with open(args.out, "w") as fh:
+        yaml.safe_dump(doc, fh, sort_keys=False)
+    print(f"wrote {args.out} ({len(fields)} fields)")
+    return 0
+
+
+def cmd_test_connections(args) -> int:
+    """Smoke checks (reference ``test-connections``,
+    ``panorama_elt.py:473-493``): Spark session, table readability,
+    log readability."""
+    ok = True
+    spark = get_spark("panorama-test")
+    print(f"spark: OK ({spark.version}, master={spark.sparkContext.master})")
+    if args.root:
+        try:
+            t = LakeTable.load(spark, args.root)
+            print(f"table: OK (v{t.snapshot.version}, {len(t.snapshot.files)} files)")
+        except Exception as exc:
+            ok = False
+            print(f"table: FAIL ({exc})")
+    if args.log:
+        try:
+            n = spark.read.parquet(args.log).limit(1).count()
+            print(f"log: OK (readable, sample={n})")
+        except Exception as exc:
+            ok = False
+            print(f"log: FAIL ({exc})")
+    return 0 if ok else 1
+
+
+def cmd_vacuum(args) -> int:
+    spark = get_spark("panorama-vacuum")
+    table = LakeTable.load(spark, args.root)
+    removed = table.vacuum()
+    print(f"removed {removed} orphan files")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="panorama-elt-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("create-table")
+    p.add_argument("--root", required=True)
+    p.add_argument("--schema", required=True)
+    p.set_defaults(fn=cmd_create_table)
+
+    p = sub.add_parser("replay")
+    p.add_argument("--root", required=True)
+    p.add_argument("--log", required=True)
+    p.add_argument("--batch-size", type=int, default=100_000)
+    p.add_argument("--schema-registry", nargs="*", default=None,
+                   help="schema YAMLs, one per schema_version")
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("stream")
+    p.add_argument("--root", required=True)
+    p.add_argument("--log", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--continuous", action="store_true")
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("table-info")
+    p.add_argument("--root", required=True)
+    p.set_defaults(fn=cmd_table_info)
+
+    p = sub.add_parser("set-tables-fields")
+    p.add_argument("--parquet", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--key-cols", default=None)
+    p.set_defaults(fn=cmd_set_tables_fields)
+
+    p = sub.add_parser("test-connections")
+    p.add_argument("--root", default=None)
+    p.add_argument("--log", default=None)
+    p.set_defaults(fn=cmd_test_connections)
+
+    p = sub.add_parser("vacuum")
+    p.add_argument("--root", required=True)
+    p.set_defaults(fn=cmd_vacuum)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

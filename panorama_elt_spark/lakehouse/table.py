@@ -39,16 +39,29 @@ BUCKET_COL = "__bucket"
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
-    """Deterministic key→bucket hash (xxhash64 seed-42, stable across Spark)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    """Deterministic key→bucket hash.
+
+    Uses Murmur3 (``F.hash``, seed 42) — the *same* hash family Spark's
+    HashPartitioning uses — so ``df.repartition(n_buckets, *key_cols)``
+    places every row of bucket b into shuffle partition b. The merge
+    exploits that: one exchange serves both the per-key aggregation and
+    the per-bucket file layout (zero extra shuffle before the write).
+    """
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
 def _parquet_row_counts(paths: list[str]) -> dict[str, int]:
     """Footer-only row counts (metadata read, no data scan) — the cheap
     lineage-stats path, analogous to Iceberg's per-file metrics."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    return {p: pq.ParquetFile(p).metadata.num_rows for p in paths}
+    def count(p: str) -> tuple[str, int]:
+        return p, pq.ParquetFile(p).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return dict(ex.map(count, paths))
 
 
 class LakeTable:
@@ -134,21 +147,26 @@ class LakeTable:
 
     # ---------------------------------------------------------------- write
 
-    def write_bucket_files(self, df: DataFrame, new_version: int) -> list[DataFile]:
+    def write_bucket_files(
+        self, df: DataFrame, new_version: int, *, pre_partitioned: bool = False
+    ) -> list[DataFile]:
         """Write ``df`` (current-schema columns) into ``data/s{version}/``
         hash-partitioned by bucket; returns the DataFile manifest entries.
 
-        The shuffle here is *the* write shuffle: one exchange on the bucket
-        hash, after which every task writes exactly one bucket directory.
-        AQE coalesces empty/small buckets.
+        With ``pre_partitioned=True`` the caller guarantees ``df``'s
+        physical partitioning already equals the bucket layout (e.g. the
+        merge's single aggregate exchange on HashPartitioning(key_cols,
+        n_buckets)) — no extra shuffle, each task writes one bucket dir.
+        Otherwise one exchange on the bucket hash is inserted here.
         """
         snap = self.snapshot
         rel_dir = f"data/s{new_version}"
         out_dir = os.path.join(self.root, rel_dir)
+        out = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+        if not pre_partitioned:
+            out = out.repartition(min(snap.n_buckets, 64), F.col(BUCKET_COL))
         (
-            df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
-            .repartition(min(snap.n_buckets, 64), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
+            out.write.partitionBy(BUCKET_COL)
             .parquet(out_dir, mode="errorifexists", compression="snappy")
         )
         files: list[DataFile] = []

@@ -1,0 +1,92 @@
+"""JDBC (MySQL-shaped) source — the Spark-native reimagination of the
+reference's pymysql datasource (``mysql_datasource.py``).
+
+The reference's duck-typed datasource protocol (``panorama_elt.py:77-98``:
+``test_connections / get_tables / get_fields / extract_and_load``)
+becomes a thin class whose scans are ``spark.read.jdbc`` DataFrames:
+projection (P1), the incremental interval predicate (P4), partition
+equality (P5), and DISTINCT partition discovery (P6) are all pushed to
+the database by Catalyst instead of being string-formatted into SQL.
+
+No JDBC driver jar ships in this sandbox, so ``connect``-time failures
+surface as ``JdbcUnavailable`` — the query-construction surface is fully
+testable without a live database via ``scan_options``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class JdbcUnavailable(RuntimeError):
+    pass
+
+
+@dataclass
+class JdbcSource:
+    spark: SparkSession
+    url: str  # jdbc:mysql://host:3306/db
+    user: str = ""
+    password: str = ""
+    properties: dict = dc_field(default_factory=dict)
+
+    def scan_options(
+        self,
+        table: str,
+        *,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+    ) -> dict[str, str]:
+        """The parallel-scan contract: with a numeric partition column the
+        read fans out to ``num_partitions`` range-partitioned queries —
+        the scalable replacement for the reference's single
+        ``cur.fetchall()`` into driver RAM (``mysql_datasource.py:222``)."""
+        opts = {
+            "url": self.url,
+            "dbtable": table,
+            "user": self.user,
+            "password": self.password,
+            **{k: str(v) for k, v in self.properties.items()},
+        }
+        if partition_column is not None:
+            opts.update(
+                partitionColumn=partition_column,
+                numPartitions=str(num_partitions),
+                lowerBound=str(lower_bound if lower_bound is not None else 0),
+                upperBound=str(upper_bound if upper_bound is not None else 1 << 31),
+            )
+        return opts
+
+    def read_table(self, table: str, **kwargs) -> DataFrame:
+        try:
+            return self.spark.read.format("jdbc").options(
+                **self.scan_options(table, **kwargs)
+            ).load()
+        except Exception as exc:  # driver jar missing, host unreachable, ...
+            raise JdbcUnavailable(
+                f"JDBC read of {table} failed (driver jar present? host reachable?): {exc}"
+            ) from exc
+
+    def incremental_scan(
+        self, table: str, ts_col: str, lookback: str, **kwargs
+    ) -> DataFrame:
+        """P4: rows modified within the lookback interval; the filter is
+        pushed down into the database query by Catalyst."""
+        df = self.read_table(table, **kwargs)
+        return df.filter(
+            F.col(ts_col) >= F.current_timestamp() - F.expr(f"INTERVAL {lookback}")
+        )
+
+    def changed_partitions(
+        self, table: str, ts_col: str, lookback: str, partition_cols: list[str], **kwargs
+    ) -> DataFrame:
+        """P6: DISTINCT changed partition keys (mysql_datasource.py:271)."""
+        return (
+            self.incremental_scan(table, ts_col, lookback, **kwargs)
+            .select(*partition_cols)
+            .distinct()
+        )

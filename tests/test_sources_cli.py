@@ -1,0 +1,94 @@
+"""Sources (CSV contract, JDBC scan options, XLS gating) and CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from panorama_elt_spark.sources.csv_source import read_csv_table, write_csv_table
+from panorama_elt_spark.sources.jdbc_source import JdbcSource
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_csv_roundtrip_reference_contract(spark, tmp_path):
+    """Backslash/CR/LF content and µs timestamps survive the escaped-CSV
+    round trip (reference K1/F8/F9 semantics via reader/writer options)."""
+    df = spark.createDataFrame(
+        [(1, "a\\b", "line1\nline2", "2024-01-02 03:04:05.000006")],
+        "id int, s1 string, s2 string, ts_str string",
+    ).select(
+        "id", "s1", "s2", F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts")
+    )
+    path = str(tmp_path / "csv")
+    write_csv_table(df, path)
+    back = read_csv_table(spark, path, all_string=True)
+    row = back.collect()[0]
+    assert row["s1"] == "a\\b"
+    assert row["s2"] == "line1\nline2"
+    assert row["ts"] == "2024-01-02 03:04:05.000006"  # µs always 6 digits
+    assert all(t == "string" for t in dict(back.dtypes).values())
+
+
+def test_jdbc_scan_options_parallel_contract(spark):
+    src = JdbcSource(spark, "jdbc:mysql://db:3306/edx", user="u", password="p")
+    opts = src.scan_options(
+        "courseware_studentmodule", partition_column="id",
+        num_partitions=16, lower_bound=0, upper_bound=10**9,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert opts["dbtable"] == "courseware_studentmodule"
+
+
+def test_xls_gated(spark, tmp_path):
+    from panorama_elt_spark.sources.xls_source import XlsUnavailable, read_xls_tables
+
+    try:
+        import openpyxl  # noqa: F401
+        pytest.skip("excel engine present; gating path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises((XlsUnavailable, Exception)):
+        read_xls_tables(spark, str(tmp_path / "missing.xlsx"))
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "panorama_elt_spark.cli", *args],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=300,
+    )
+
+
+def test_cli_end_to_end(tmp_path, spark):
+    from panorama_elt_spark.cdc import ChangeLogSpec, generate_change_log
+
+    generate_change_log(spark, ChangeLogSpec(n_events=500, n_keys=50)).write.parquet(
+        str(tmp_path / "log")
+    )
+    schema_yaml = tmp_path / "schema.yaml"
+    schema_yaml.write_text(
+        "schema_version: 1\nkey_cols: [repo, path]\nn_buckets: 8\n"
+        "fields:\n"
+        "  - {id: 1, name: repo, type: string, nullable: false}\n"
+        "  - {id: 2, name: path, type: string, nullable: false}\n"
+        "  - {id: 3, name: commit, type: string}\n"
+        "  - {id: 4, name: lang, type: string}\n"
+        "  - {id: 5, name: content, type: string}\n"
+    )
+    cwd = str(tmp_path)
+    r = _run_cli(["create-table", "--root", "T", "--schema", "schema.yaml"], cwd)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = _run_cli(["replay", "--root", "T", "--log", "log", "--batch-size", "250"], cwd)
+    assert r.returncode == 0, r.stderr[-500:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["batches_applied"] == 2 and rep["last_lsn"] == 499
+    r = _run_cli(["table-info", "--root", "T"], cwd)
+    info = json.loads(r.stdout)
+    assert info["last_lsn"] == 499 and info["rows"] > 0
+    r = _run_cli(["test-connections", "--root", "T", "--log", "log"], cwd)
+    assert r.returncode == 0 and "table: OK" in r.stdout

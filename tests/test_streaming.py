@@ -1,0 +1,77 @@
+"""Structured Streaming tail: availableNow drain, growth pickup, and
+exactly-once across stream restarts."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from panorama_elt_spark.cdc import ChangeLogSpec, expected_final_state, generate_change_log
+from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
+from panorama_elt_spark.streaming import stream_changelog_to_table
+
+SCHEMA = TableSchema(
+    [
+        Field(1, "repo", "string", False),
+        Field(2, "path", "string", False),
+        Field(3, "commit", "string"),
+        Field(4, "lang", "string"),
+        Field(5, "content", "string"),
+    ],
+    schema_version=1,
+)
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select("repo", "path", "commit", "lang", "content").collect()
+    )
+
+
+def test_stream_drain_and_growth(spark, tmp_path):
+    spec = ChangeLogSpec(n_events=3000, n_keys=200)
+    log = generate_change_log(spark, spec)
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    # first half of the log arrives
+    log.filter(F.col("lsn") < 1500).write.parquet(log_dir)
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=8)
+    q = stream_changelog_to_table(spark, log_dir, t, ckpt)
+    q.awaitTermination(120)
+    half_rows = t.read().count()
+    assert half_rows > 0
+
+    # the log grows; a new availableNow run drains only the new files
+    log.filter(F.col("lsn") >= 1500).write.mode("append").parquet(log_dir)
+    q2 = stream_changelog_to_table(spark, log_dir, t, ckpt)
+    q2.awaitTermination(120)
+
+    assert _rows(t.read()) == _rows(expected_final_state(spark, spec))
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    spec = ChangeLogSpec(n_events=2000, n_keys=150)
+    log = generate_change_log(spark, spec)
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    log.write.parquet(log_dir)
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=8)
+    q = stream_changelog_to_table(spark, log_dir, t, ckpt)
+    q.awaitTermination(120)
+    state = _rows(t.read())
+    version = t.snapshot.version
+
+    # restart the stream over the same checkpoint: nothing new to do
+    q2 = stream_changelog_to_table(spark, log_dir, t, ckpt)
+    q2.awaitTermination(120)
+    assert t.snapshot.version == version
+    assert _rows(t.read()) == state
+
+    # fresh checkpoint (simulates a re-delivered epoch with a fresh id
+    # stream): state must still converge, merge stays idempotent at the
+    # row level because replayed events lose the max_by to equal rows
+    ckpt2 = str(tmp_path / "ckpt2")
+    q3 = stream_changelog_to_table(spark, log_dir, t, ckpt2)
+    q3.awaitTermination(120)
+    assert _rows(t.read()) == state
