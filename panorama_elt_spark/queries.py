@@ -556,6 +556,96 @@ SELECT doc_id, lang_pred, n_tokens_ws, n_tokens_bpe, quality, fingerprint FROM p
 """
 
 # ---------------------------------------------------------------------------
+# A6 — regex-match-count derived measure (the problem-weight heuristic,
+# course_structures_datasource.py:320-356: weight = #matches of a tag
+# alternation regex)
+# ---------------------------------------------------------------------------
+
+_A6_PATTERN = "(scan|merge|join|filter|window)"
+
+
+def a6_regex_tag_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_A6_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("weight"),
+    )
+
+
+_A6_SQL = f"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '{_A6_PATTERN}')) AS BIGINT) AS weight
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# F11/F12 — structured-id construction and parsing
+# (block-v1:{{org}}+{{course}}+… construction course_structures_datasource.py:310-312;
+#  course_id[10:].split('+') parsing :255-257)
+# ---------------------------------------------------------------------------
+
+def f11_id_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    block_id = F.format_string("doc-v1:%s+%s+%d", F.col("source"), F.col("lang"), F.col("doc_id"))
+    parts = F.split(F.substring(block_id, 8, 10_000), r"\+")
+    return docs.select(
+        "doc_id",
+        block_id.alias("block_id"),
+        F.element_at(parts, 1).alias("parsed_source"),
+        F.element_at(parts, 2).alias("parsed_lang"),
+        F.element_at(parts, 3).cast("bigint").alias("parsed_id"),
+    )
+
+
+_F11_SQL = r"""
+SELECT doc_id,
+       printf('doc-v1:%s+%s+%d', source, lang, doc_id) AS block_id,
+       string_split(substring(printf('doc-v1:%s+%s+%d', source, lang, doc_id), 8), '+')[1] AS parsed_source,
+       string_split(substring(printf('doc-v1:%s+%s+%d', source, lang, doc_id), 8), '+')[2] AS parsed_lang,
+       CAST(string_split(substring(printf('doc-v1:%s+%s+%d', source, lang, doc_id), 8), '+')[3] AS BIGINT) AS parsed_id
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# D5 — embedding-cosine near-duplicate pairs (blocked self-join)
+# ---------------------------------------------------------------------------
+
+_D5_THRESHOLD = 0.35
+
+
+def d5_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select(
+        F.col("vec_id"),
+        F.col("label"),
+        similarity._to_double(F.col("embedding")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        similarity.dot(F.col("a.v"), F.col("b.v"))
+        / (similarity.norm(F.col("a.v")) * similarity.norm(F.col("b.v"))),
+        6,
+    ).alias("cos_sim")
+    return (
+        a.join(
+            b,
+            on=[F.col("a.label") == F.col("b.label"), F.col("a.vec_id") < F.col("b.vec_id")],
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos)
+        .filter(F.col("cos_sim") >= _D5_THRESHOLD)
+    )
+
+
+_D5_SQL = f"""
+WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {_D5_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
 # M1 — multimodal binary plumbing (mapInPandas feature extraction)
 # ---------------------------------------------------------------------------
 
@@ -626,6 +716,9 @@ def queries() -> dict[str, QueryFn]:
         "d2_minhash_signatures": d2_minhash_signatures,
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash": d4_simhash,
+        "d5_embedding_neardup": d5_embedding_neardup,
+        "a6_regex_tag_count": a6_regex_tag_count,
+        "f11_id_roundtrip": f11_id_roundtrip,
         "s1_ann_cosine_topk": s1_ann_cosine_topk,
         "s2_ann_cosine_lsh": s2_ann_cosine_lsh,
         "t1_text_profile": t1_text_profile,
@@ -651,6 +744,9 @@ def oracle_sql() -> dict[str, str]:
         "d2_minhash_signatures": _d2_sql(),
         "d3_minhash_lsh_pairs": _d3_sql(),
         "d4_simhash": _d4_sql(),
+        "d5_embedding_neardup": _D5_SQL,
+        "a6_regex_tag_count": _A6_SQL,
+        "f11_id_roundtrip": _F11_SQL,
         "s1_ann_cosine_topk": _S1_SQL,
         "s2_ann_cosine_lsh": _s2_sql(),
         "t1_text_profile": _t1_sql(),
