@@ -59,22 +59,59 @@ def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(
-    text: Column, n_hashes: int = 8, shingle_k: int = 3
-) -> list[Column]:
-    """MinHash over word shingles: sig[i] = min over shingles of
-    hash_i(shingle), with hash_i = md5hash56 salted by i."""
-    sh = word_shingles(text, shingle_k)
+M31 = 2_147_483_647  # Mersenne prime 2^31-1, the affine-hash modulus
 
-    def hash_fn(i: int):
-        # NB: a plain `lambda s, i=i:` would be seen by PySpark as a
-        # 2-arg (element, index) lambda — closure factory instead.
-        return lambda s: md5hash56(s, f"{i}|")
 
-    return [
-        F.array_min(F.transform(sh, hash_fn(i))).alias(f"h{i}")
-        for i in range(n_hashes)
+def minhash_coeffs(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (A_i odd 31-bit, B_i 31-bit) —
+    pure constants, reproducible in any engine."""
+    import hashlib
+
+    out = []
+    for i in range(n_hashes):
+        d = hashlib.md5(f"minhash|{seed}|{i}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") | 1) % M31 or 1
+        b = int.from_bytes(d[4:8], "big") % M31
+        out.append((a, b))
+    return out
+
+
+def base_hash32(col: Column) -> Column:
+    """One engine-portable 32-bit hash per shingle: bigint(first 8 hex
+    chars of md5). All n MinHash functions derive from this single
+    digest via (A_i*h + B_i) mod (2^31-1) — classic affine MinHash —
+    so the md5 cost is paid once, not n times."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    with_shingles: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash signature (doc_id, h0..h{n-1}[, shingles]).
+
+    Physical shape chosen for scale: shingles are *exploded to rows* and
+    reduced with a hash aggregate — every expression is whole-stage
+    codegen'd (higher-order-function lambdas are not), md5 runs once per
+    shingle, and the per-doc min gets map-side partial aggregation. A
+    doc with no shingles keeps a row with null signature columns
+    (explode_outer).
+    """
+    sh = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode_outer(sh).alias("__sg"))
+    h = base_hash32(F.col("__sg"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % M31).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
     ]
+    if with_shingles:
+        aggs.append(F.collect_set("__sg").alias("shingles"))
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -94,11 +131,9 @@ def minhash_lsh_pairs(
     that band's signature slice matches exactly.
     """
     rows_per_band = n_hashes // n_bands
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("shingles"),
-        *minhash_signature(F.col(text_col), n_hashes, shingle_k),
-    )
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k, with_shingles=True
+    ).localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -110,28 +145,40 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
+    # slim candidate generation: only (doc_id, band, bucket) travels
+    # through the self-join shuffle; shingle sets join in afterwards,
+    # once per *candidate pair*, not per band row.
     buckets = sigs.select(
-        "doc_id", "shingles", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
-    left = buckets.alias("a")
-    right = buckets.alias("b")
     cand = (
-        left.join(
-            right,
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.bucket") == F.col("b.bucket"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shingle_sets = sigs.select("doc_id", "shingles")
+    pairs = (
+        cand.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            on="doc_a",
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            on="doc_b",
+        )
     )
     jac = F.round(
         F.size(F.array_intersect("sh_a", "sh_b"))
@@ -139,7 +186,7 @@ def minhash_lsh_pairs(
         6,
     ).alias("jaccard")
     return (
-        cand.select("doc_a", "doc_b", jac)
+        pairs.select("doc_a", "doc_b", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
 

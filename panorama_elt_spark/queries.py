@@ -366,21 +366,25 @@ _N_HASHES, _N_BANDS = 8, 4
 
 def d2_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return docs.select(
-        "doc_id", *textdedup.minhash_signature(F.col("text"), _N_HASHES)
+    return textdedup.minhash_signatures_df(docs, "doc_id", "text", n_hashes=_N_HASHES)
+
+
+_SQL_BASE32 = "CAST('0x' || substr(md5(sg), 1, 8) AS BIGINT)"
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n       ".join(
+        f"list_min([({a} * {_SQL_BASE32} + {b}) % 2147483647 for sg in sh]) AS h{i}"
+        for i, (a, b) in enumerate(textdedup.minhash_coeffs(_N_HASHES))
     )
 
 
 def _d2_sql() -> str:
-    hs = ",\n       ".join(
-        "list_min([{h} for s in sh]) AS h{i}".format(h=_sql_h56(f"'{i}|' || s"), i=i)
-        for i in range(_N_HASHES)
-    )
     return f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
-s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t)
+s AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t)
 SELECT doc_id,
-       {hs}
+       {_sql_minhash_cols()}
 FROM s
 """
 
@@ -394,12 +398,8 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _d3_sql() -> str:
     rows_per_band = _N_HASHES // _N_BANDS
-    hs = ", ".join(
-        "list_min([{h} for s in sh]) AS h{i}".format(h=_sql_h56(f"'{i}|' || s"), i=i)
-        for i in range(_N_HASHES)
-    )
     bands = "\nUNION ALL\n".join(
-        "SELECT doc_id, sh, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
             b=b,
             cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
         )
@@ -407,19 +407,19 @@ def _d3_sql() -> str:
     )
     return f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
-s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh0 FROM t),
-sd AS (SELECT doc_id, list_distinct(sh0) AS sh FROM s),
-sigs AS (SELECT doc_id, sh, {hs} FROM sd),
+sd AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+sigs AS (SELECT doc_id, sh, {_sql_minhash_cols()} FROM sd),
 bands AS ({bands}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.sh AS sh_a, b.sh AS sh_b
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
 FROM cand
+JOIN sigs sa ON sa.doc_id = cand.doc_a
+JOIN sigs sb ON sb.doc_id = cand.doc_b
 """
 
 # ---------------------------------------------------------------------------
