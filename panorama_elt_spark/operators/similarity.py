@@ -95,6 +95,83 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) 
     return out
 
 
+def ivf_cells(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (argmax, ties → lowest centroid id).
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id —
+    a deterministic, engine-portable stand-in for a k-means pass (at
+    scale: run k-means|| on a sample, broadcast the centroid matrix; the
+    assignment below is unchanged). The centroid side is broadcast, so
+    assignment is a map-only stage — no shuffle over the corpus.
+    Returns (vid, v, cid)."""
+    c = corpus.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    )
+    cents = c.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = c.join(F.broadcast(cents)).select(
+        "vid",
+        "v",
+        "cid",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv"))), 6
+        ).alias("ccos"),
+    )
+    wa = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vid", "v", "cid")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-style approximate top-k: quantize corpus + queries to
+    centroid cells, then exact cosine rerank *within the query's cell*
+    (nprobe=1). Same output shape as ``cosine_topk``. At scale the
+    cell join shuffles on cid — each task scans one inverted list, so
+    work per query is |cell| not |corpus|."""
+    # materialize the inverted index once — both the query branch and the
+    # corpus branch read it (at warehouse scale this is a persisted table)
+    cells = ivf_cells(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    ).localCheckpoint(eager=False)
+    q = cells.join(
+        queries.select(F.col(id_col).alias("vid")), on="vid", how="left_semi"
+    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cid")
+    sim = (
+        cells.join(F.broadcast(q), on="cid")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

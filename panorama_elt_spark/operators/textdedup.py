@@ -33,17 +33,18 @@ def word_tokens(text: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles; empty array when the doc has < k words."""
-    w = word_tokens(text)
-    idx = F.when(
-        F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(k)]
-        ),
-    )
+    """k-word shingles; empty array when the doc has < k words.
+
+    Single regex pass: a zero-width lookahead captures the k-word
+    window at every token start (`(?<![^ ])` anchors to string start or
+    a preceding space). The obvious transform/element_at construction
+    is quadratic in practice — Catalyst re-evaluates the tokenizing
+    `split` inside the lambda for every element — while this form
+    evaluates the normalized string exactly once per document.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    pat = "(?<![^ ])(?=(" + " ".join([r"\S+"] * k) + "))"
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
 
 
 def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -188,6 +189,63 @@ def minhash_lsh_pairs(
     return (
         pairs.select("doc_a", "doc_b", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram (word-shingle) Jaccard near-dup pairs, blocked.
+
+    The all-pairs comparison is bounded by a conjunctive blocking key
+    (`block_cols`) — the classic block-then-verify shape: at 100 TB the
+    blocks come from a cheap first stage (LSH bucket, simhash prefix,
+    source partition) and the quadratic verify runs only inside blocks.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    # materialize the shingle index before the self-join: without the
+    # barrier Catalyst collapses the projection into the join condition
+    # and re-tokenizes the document once per candidate PAIR, not per row.
+    # Shingles are hashed to bigints so the per-pair intersect compares
+    # fixed-width ints, not strings; |A∪B| = |A|+|B|−|A∩B| avoids
+    # building union arrays.
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            F.transform(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_k)),
+                lambda s: md5hash56(s),
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    pairs = (
+        a.join(b, on=cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("n_inter"),
+            (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).alias("n_sum"),
+        )
+    )
+    jac = F.round(
+        F.col("n_inter").cast("double") / (F.col("n_sum") - F.col("n_inter")), 6
+    ).alias("jaccard")
+    return (
+        pairs.select("doc_a", "doc_b", jac)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

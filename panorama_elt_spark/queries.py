@@ -423,6 +423,37 @@ JOIN sigs sb ON sb.doc_id = cand.doc_b
 """
 
 # ---------------------------------------------------------------------------
+# D6 — exact n-gram Jaccard near-dup pairs (block-then-verify)
+# ---------------------------------------------------------------------------
+
+_D6_THRESHOLD = 0.1
+
+
+def d6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textdedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["source", "lang"], threshold=_D6_THRESHOLD
+    )
+
+
+def _d6_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source, lang, {_SQL_TOKENS} AS w FROM documents),
+s AS (
+  SELECT doc_id, source, lang,
+         [{_sql_h56("sg")} for sg in list_distinct({_SQL_SHINGLES})] AS sh
+  FROM t WHERE len(w) >= 3
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+) WHERE jaccard >= {_D6_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
 # D4 — SimHash (16-bit)
 # ---------------------------------------------------------------------------
 
@@ -495,6 +526,40 @@ s AS (
   SELECT qid AS query_id, e.vec_id AS neighbor_id,
          round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
   FROM q JOIN e USING (bucket) WHERE e.vec_id <> qid
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= {_ANN_K}
+"""
+
+_IVF_K = 8
+
+
+def s3_ann_cosine_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K, n_centroids=_IVF_K
+    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+_S3_SQL = f"""
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_K}),
+scored AS (
+  SELECT e.vec_id AS vid, e.v, cid,
+         round(list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+  FROM e CROSS JOIN c
+),
+cells AS (
+  SELECT vid, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vid AS qid, v AS qv, cid FROM cells WHERE vid < {_ANN_NQ}),
+s AS (
+  SELECT qid AS query_id, cells.vid AS neighbor_id,
+         round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q JOIN cells USING (cid) WHERE cells.vid <> qid
 )
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s
@@ -717,10 +782,12 @@ def queries() -> dict[str, QueryFn]:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash": d4_simhash,
         "d5_embedding_neardup": d5_embedding_neardup,
+        "d6_ngram_jaccard": d6_ngram_jaccard,
         "a6_regex_tag_count": a6_regex_tag_count,
         "f11_id_roundtrip": f11_id_roundtrip,
         "s1_ann_cosine_topk": s1_ann_cosine_topk,
         "s2_ann_cosine_lsh": s2_ann_cosine_lsh,
+        "s3_ann_cosine_ivf": s3_ann_cosine_ivf,
         "t1_text_profile": t1_text_profile,
         "m1_multimodal_features": m1_multimodal_features,
         "cdc_replay_state": cdc_replay_state,
@@ -745,10 +812,12 @@ def oracle_sql() -> dict[str, str]:
         "d3_minhash_lsh_pairs": _d3_sql(),
         "d4_simhash": _d4_sql(),
         "d5_embedding_neardup": _D5_SQL,
+        "d6_ngram_jaccard": _d6_sql(),
         "a6_regex_tag_count": _A6_SQL,
         "f11_id_roundtrip": _F11_SQL,
         "s1_ann_cosine_topk": _S1_SQL,
         "s2_ann_cosine_lsh": _s2_sql(),
+        "s3_ann_cosine_ivf": _S3_SQL,
         "t1_text_profile": _t1_sql(),
         "m1_multimodal_features": _M1_SQL,
         # cdc_replay_state intentionally has no oracle (stateful replay)

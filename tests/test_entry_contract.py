@@ -41,7 +41,8 @@ def test_oracle_keys_subset_of_queries():
 
 @pytest.mark.parametrize(
     "name",
-    ["w1_lww_latest_window", "d2_minhash_signatures", "t1_text_profile", "s1_ann_cosine_topk"],
+    ["w1_lww_latest_window", "d2_minhash_signatures", "t1_text_profile",
+     "s1_ann_cosine_topk", "s3_ann_cosine_ivf", "d6_ngram_jaccard"],
 )
 def test_query_matches_oracle(spark, sf_dir, name):
     mod = _load_entry()
