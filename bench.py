@@ -65,7 +65,10 @@ def run_replay_level(cpus: int, events: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    # 8M events ≈ 2M/batch: large enough that per-batch fixed costs
+    # (job submission, commit) amortize as they would on a cluster where
+    # a batch is ~10^9 events; see BASELINE.md "Measured results".
+    events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     timings, total = run_queries(sf_dir, cpus)

@@ -80,12 +80,15 @@ class CdcEngine:
         table: LakeTable,
         schema_registry: dict[int, TableSchema] | None = None,
         pre_dedupe=None,
+        strategy: str = "auto",
     ):
         self.table = table
         self.registry = schema_registry or {}
         # None → the merge's fused dedup+merge aggregate (the fast path);
         # a dedupe fn (e.g. lww_dedupe_salted) forces a standalone pass.
         self.pre_dedupe = pre_dedupe
+        # "auto" | "fused" | "bucket_local" — see merge.py module doc
+        self.strategy = strategy
 
     def _evolve_to(self, version: int) -> None:
         """Catalog-diff + ALTER up to ``version`` (gated: lands before the
@@ -112,7 +115,11 @@ class CdcEngine:
                 batch_df, self.table.snapshot.schema, self.registry
             )
         return merge_batch(
-            self.table, batch_df, batch_id, pre_dedupe=self.pre_dedupe
+            self.table,
+            batch_df,
+            batch_id,
+            pre_dedupe=self.pre_dedupe,
+            strategy=self.strategy,
         )
 
     def replay(

@@ -30,6 +30,21 @@ Physical plan — ONE shuffle per batch, tuned for 10^10-event scale:
 4. Commit is one atomic snapshot swap carrying data files + checkpoint
    LSN + batch id + per-bucket lineage (exactly-once: a replayed
    ``batch_id`` is detected in the snapshot and skipped).
+
+Second physical strategy — **bucket-local merge** (``strategy=
+"bucket_local"``, auto-selected when the resident side outweighs the
+batch): only the *events* go through the dedup exchange; resident rows
+never enter a shuffle. Because the dedup exchange is pinned to the
+bucket layout, task i holds exactly the deduped events of bucket i, so
+a vectorized ``mapInArrow`` stage reads bucket i's parquet file(s)
+directly inside the task and applies the merge with Arrow/pandas
+kernels (anti-join on keys + concat — zero per-row Python). At steady
+state a CDC table is orders of magnitude larger than a batch, so not
+shuffling the resident side is the dominant saving; with 1000
+executors it also removes the all-to-all resident exchange entirely.
+Falls back to the fused-aggregate strategy when affected buckets hold
+files written under older schema versions (the JVM path maps them by
+field id on read).
 """
 
 from __future__ import annotations
@@ -84,6 +99,66 @@ def _pinned_shuffle(spark, n_partitions: int):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
 
 
+def _bucket_local_map_fn(
+    bucket_paths: dict[int, list[str]],
+    key_cols: list[str],
+    out_names: list[str],
+    op_col: str,
+    arrow_schema,
+    max_batch_rows: int = 1 << 16,
+):
+    """Build the mapInArrow kernel for the bucket-local merge.
+
+    Each input partition carries the LWW-deduped events of exactly one
+    bucket (the dedup exchange is pinned to the bucket layout). The
+    kernel reads that bucket's resident parquet file(s) locally, drops
+    resident keys overwritten by the batch (vectorized index anti-join),
+    appends the surviving events, and streams Arrow batches back out.
+    Everything is Arrow/pandas kernels — no per-row Python.
+    """
+
+    def fn(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # ArrowDtype end-to-end: exact types, null-safe (an int32 column
+        # with nulls never decays to float64 on the pandas hop)
+        dfs = [b.to_pandas(types_mapper=pd.ArrowDtype) for b in batches]
+        if not dfs:
+            return
+        ev = pd.concat(dfs, ignore_index=True) if len(dfs) > 1 else dfs[0]
+        if ev.empty:
+            return
+        bucket = int(ev["__b"].iloc[0])
+        # partition-layout invariant: one bucket per task (violated only
+        # if an exchange re-planned under us — fail loudly, not silently)
+        if not (ev["__b"] == bucket).all():
+            raise RuntimeError("bucket-local merge: mixed buckets in one partition")
+        parts = []
+        paths = bucket_paths.get(bucket, [])
+        if paths:
+            res_tbl = pa.concat_tables(
+                [pq.read_table(p, columns=out_names) for p in paths]
+            )
+            res = res_tbl.to_pandas(types_mapper=pd.ArrowDtype)
+            batch_keys = pd.MultiIndex.from_frame(ev[key_cols])
+            res_keys = pd.MultiIndex.from_frame(res[key_cols])
+            parts.append(res[~res_keys.isin(batch_keys)])
+        live = ev[ev[op_col] != "D"]
+        if not live.empty:
+            parts.append(live[out_names])
+        parts = [p for p in parts if not p.empty]
+        if not parts:
+            return
+        out = pd.concat(parts, ignore_index=True)[out_names] if len(parts) > 1 else parts[0][out_names]
+        tbl = pa.Table.from_pandas(out, schema=arrow_schema, preserve_index=False)
+        for rb in tbl.to_batches(max_chunksize=max_batch_rows):
+            yield rb
+
+    return fn
+
+
 def merge_batch(
     table: LakeTable,
     batch_df: DataFrame,
@@ -92,6 +167,7 @@ def merge_batch(
     op_col: str = "op",
     lsn_col: str = "lsn",
     pre_dedupe=None,
+    strategy: str = "auto",
 ) -> MergeStats:
     timer = _Timer()
     snap = table.snapshot
@@ -132,29 +208,90 @@ def merge_batch(
         )
         return MergeStats(batch_id=batch_id, skipped=False, snapshot_version=new_snap.version)
 
-    # existing rows of the affected buckets, tagged to lose every tie:
-    # any batch event (lsn ≥ 0) beats the resident row (lsn = -1).
-    resident = table.read(buckets=affected).select(
-        *keys,
-        *payload_cols,
-        F.lit("E").alias(op_col),
-        F.lit(-1).cast("long").alias(lsn_col),
-    )
-    unioned = resident.unionByName(events)
+    # strategy resolution: the bucket-local path needs every affected
+    # bucket's files at the current schema version (it reads them with
+    # pyarrow, bypassing the JVM field-id mapping) and only pays off
+    # when the resident side outweighs the batch.
+    strategy = os.environ.get("PANORAMA_MERGE_STRATEGY", strategy or "auto")
+    affected_files = [f for f in snap.files if f.bucket in affected]
+    if strategy == "auto":
+        uniform_schema = all(
+            f.schema_version == snap.schema.schema_version for f in affected_files
+        )
+        resident_rows = sum(f.rows for f in affected_files)
+        rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
+        # bucket_local removes the resident-side exchange — a win only
+        # where the exchange crosses a network. In local mode the
+        # shuffle is an in-memory copy and the Arrow hop costs more
+        # (measured 2x slower at 6M resident / 1M batch), so auto picks
+        # it only on a real cluster with a resident-dominated merge.
+        is_local = table.spark.sparkContext.master.startswith("local")
+        strategy = (
+            "bucket_local"
+            if uniform_schema and not is_local and resident_rows > rows_in_total
+            else "fused"
+        )
+    elif strategy == "bucket_local" and any(
+        f.schema_version != snap.schema.schema_version for f in affected_files
+    ):
+        strategy = "fused"  # correctness guard: old-version files need JVM mapping
 
     winner = F.max_by(
         F.struct(*[F.col(c) for c in payload_cols], F.col(op_col)), F.col(lsn_col)
     ).alias("__w")
-    with _pinned_shuffle(table.spark, snap.n_buckets):
-        merged = (
-            unioned.groupBy(*keys)
-            .agg(winner)
-            .filter(F.col(f"__w.{op_col}") != "D")
-            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+    new_version = snap.version + 1
+    if strategy == "bucket_local":
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        bucket_paths: dict[int, list[str]] = {}
+        for f in affected_files:
+            bucket_paths.setdefault(int(f.bucket), []).append(
+                os.path.join(table.root, f.path)
+            )
+        out_struct = snap.schema.to_struct()
+        with _pinned_shuffle(table.spark, snap.n_buckets):
+            deduped = (
+                events.groupBy(*keys)
+                .agg(winner)
+                .select(
+                    *keys,
+                    *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+                    F.col(f"__w.{op_col}").alias(op_col),
+                )
+                .withColumn("__b", bucket_expr(keys, snap.n_buckets))
+            )
+            merged = deduped.mapInArrow(
+                _bucket_local_map_fn(
+                    bucket_paths,
+                    list(keys),
+                    list(data_cols),
+                    op_col,
+                    to_arrow_schema(out_struct),
+                ),
+                out_struct,
+            )
+            new_files = table.write_bucket_files(
+                merged, new_version, pre_partitioned=True
+            )
+    else:
+        # existing rows of the affected buckets, tagged to lose every tie:
+        # any batch event (lsn ≥ 0) beats the resident row (lsn = -1).
+        resident = table.read(buckets=affected).select(
+            *keys,
+            *payload_cols,
+            F.lit("E").alias(op_col),
+            F.lit(-1).cast("long").alias(lsn_col),
         )
-        new_version = snap.version + 1
-        new_files = table.write_bucket_files(merged, new_version, pre_partitioned=True)
-    timer.lap("merge_write")
+        unioned = resident.unionByName(events)
+        with _pinned_shuffle(table.spark, snap.n_buckets):
+            merged = (
+                unioned.groupBy(*keys)
+                .agg(winner)
+                .filter(F.col(f"__w.{op_col}") != "D")
+                .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+            )
+            new_files = table.write_bucket_files(merged, new_version, pre_partitioned=True)
+    timer.lap(f"merge_write[{strategy}]")
 
     upserted = int(sum(max(r["keys"] - r["deletes"], 0) for r in per_bucket.values()))
     deleted = int(sum(r["deletes"] for r in per_bucket.values()))

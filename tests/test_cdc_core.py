@@ -243,3 +243,74 @@ def test_schema_evolution_mid_log(spark, tmp_path):
     )
     got_rows = _rows(final, ("repo", "path", "commit", "lang", "content", "stars"))
     assert got_rows == exp_rows
+
+
+# ------------------------------------------------- bucket-local strategy
+
+
+def test_bucket_local_merge_matches_fused(spark, tmp_path):
+    """The mapInArrow bucket-local strategy (resident rows never enter a
+    shuffle) must produce the byte-identical final state as the fused
+    aggregate across a multi-batch replay with deletes + duplicates."""
+    log = generate_change_log(spark, SPEC)
+    states = {}
+    for strategy in ("fused", "bucket_local"):
+        t = LakeTable.create(
+            spark, str(tmp_path / strategy), REPO_SCHEMA_V1, ["repo", "path"], n_buckets=16
+        )
+        CdcEngine(t, strategy=strategy).replay(log, batch_size=1000)
+        states[strategy] = _rows(t.read())
+    assert states["fused"] == states["bucket_local"]
+    assert states["fused"] == _rows(expected_final_state(spark, SPEC))
+
+
+def test_bucket_local_falls_back_on_mixed_schema_versions(spark, tmp_path):
+    """Resident files written under an older schema version need the JVM
+    field-id mapping — explicit bucket_local must degrade to fused, not
+    misread them."""
+    v2 = TableSchema(
+        REPO_SCHEMA_V1.fields + [Field(6, "stars", "int", default=0)], schema_version=2
+    )
+    registry = {1: REPO_SCHEMA_V1, 2: v2}
+    log_schema = (
+        "lsn bigint, op string, repo string, path string, commit string, "
+        "lang string, content string, stars int, schema_version int"
+    )
+
+    def run(strategy, root):
+        t = LakeTable.create(
+            spark, str(tmp_path / root), REPO_SCHEMA_V1, ["repo", "path"], n_buckets=4
+        )
+        eng = CdcEngine(t, schema_registry=registry, strategy=strategy)
+        # batch 0 writes v1 files; batch 1 (v2 events) must merge against
+        # them — the bucket_local guard has to detect the v1 residents
+        eng.apply_batch(
+            spark.createDataFrame(
+                [(0, "I", "o/r", "a.py", "c0", "py", "A0", None, 1),
+                 (1, "I", "o/r", "b.py", "c1", "md", "B0", None, 1)],
+                log_schema,
+            ),
+            "b0",
+        )
+        eng.apply_batch(
+            spark.createDataFrame(
+                [(2, "U", "o/r", "a.py", "c2", "py", "A1", 7, 2),
+                 (3, "I", "o/r", "c.py", "c3", "py", "C0", 9, 2)],
+                log_schema,
+            ),
+            "b1",
+        )
+        cols = tuple(t.snapshot.schema.names)
+        return _rows(t.read(), cols)
+
+    assert run("bucket_local", "mixed") == run("fused", "ref")
+
+
+def test_auto_strategy_is_fused_in_local_mode(spark, tmp_path):
+    """auto must not pick the Arrow hop under a local master (measured
+    slower than the in-memory shuffle it avoids)."""
+    t = _make_table(spark, tmp_path)
+    log = generate_change_log(spark, SPEC)
+    merge_batch(t, log, "b0", strategy="auto")
+    plan_rows = _rows(t.read())
+    assert plan_rows == _rows(expected_final_state(spark, SPEC))
