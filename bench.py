@@ -55,7 +55,7 @@ def run_replay_level(cpus: int, events: int) -> dict:
             sys.executable, "-m", "panorama_elt_spark.bench_replay",
             "--cpus", str(cpus), "--events", str(events),
             "--keys", str(max(events // 10, 1000)), "--batches", "4",
-            "--repeats", "3",
+            "--repeats", "4",
         ],
         capture_output=True, text=True, cwd=REPO, env=env, check=True,
     )

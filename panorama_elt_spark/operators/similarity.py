@@ -40,18 +40,22 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self).
     Returns (query_id, neighbor_id, cos_sim, rank)."""
+    # cast + norm are computed once per row and materialized: inlined
+    # into the broadcast-join projection they re-evaluate per (query,
+    # corpus-row) pair — |q|× redundant work over the whole corpus. At
+    # warehouse scale the normalized projection is a persisted table.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv"))).localCheckpoint(eager=False)
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv"))).localCheckpoint(eager=False)
     sim = (
         c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))), 6).alias(
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
                 "cos_sim"
             ),
         )
@@ -111,25 +115,28 @@ def ivf_cells(
     assignment below is unchanged). The centroid side is broadcast, so
     assignment is a map-only stage — no shuffle over the corpus.
     Returns (vid, v, cid)."""
-    c = corpus.select(
-        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    c = (
+        corpus.select(F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .localCheckpoint(eager=False)
     )
     cents = c.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv")
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     scored = c.join(F.broadcast(cents)).select(
         "vid",
         "v",
+        "nrm",
         "cid",
         F.round(
-            dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv"))), 6
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
         ).alias("ccos"),
     )
     wa = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select("vid", "v", "cid")
+        .select("vid", "v", "nrm", "cid")
     )
 
 
@@ -154,7 +161,12 @@ def cosine_topk_ivf(
     ).localCheckpoint(eager=False)
     q = cells.join(
         queries.select(F.col(id_col).alias("vid")), on="vid", how="left_semi"
-    ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cid")
+    ).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cid",
+    )
     sim = (
         cells.join(F.broadcast(q), on="cid")
         .filter(F.col("query_id") != F.col("vid"))
@@ -162,7 +174,7 @@ def cosine_topk_ivf(
             "query_id",
             F.col("vid").alias("neighbor_id"),
             F.round(
-                dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))), 6
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
             ).alias("cos_sim"),
         )
     )
@@ -189,12 +201,12 @@ def cosine_topk_lsh(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    ).withColumn("cn", norm(F.col("cv"))).localCheckpoint(eager=False)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    ).withColumn("qn", norm(F.col("qv"))).localCheckpoint(eager=False)
     sim = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -202,7 +214,7 @@ def cosine_topk_lsh(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))), 6
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
             ).alias("cos_sim"),
         )
     )

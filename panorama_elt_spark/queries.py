@@ -459,9 +459,7 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 def d4_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return docs.select(
-        "doc_id", textdedup.simhash16(F.col("text")).cast("int").alias("simhash")
-    )
+    return textdedup.simhash_df(docs, "doc_id", "text")
 
 
 def _d4_sql() -> str:
@@ -681,15 +679,18 @@ _D5_THRESHOLD = 0.35
 
 def d5_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
+    # precompute the double-cast vector and its norm once per row and
+    # materialize — inlined into the self-join condition they would be
+    # re-evaluated per candidate pair
     e = emb.select(
         F.col("vec_id"),
         F.col("label"),
         similarity._to_double(F.col("embedding")).alias("v"),
-    )
+    ).withColumn("nrm", similarity.norm(F.col("v"))).localCheckpoint(eager=False)
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
         similarity.dot(F.col("a.v"), F.col("b.v"))
-        / (similarity.norm(F.col("a.v")) * similarity.norm(F.col("b.v"))),
+        / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     ).alias("cos_sim")
     return (
@@ -735,6 +736,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
+    import os
     import tempfile
 
     from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
@@ -752,7 +754,8 @@ def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
     )
     spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
     log = generate_change_log(spark, spec)
-    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_replay_", dir=base)
     table = LakeTable.create(spark, root + "/repos", schema, ["repo", "path"], n_buckets=32)
     CdcEngine(table).replay(log, batch_size=5_000)
     return table.read().select(
