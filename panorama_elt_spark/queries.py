@@ -756,8 +756,8 @@ def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
     log = generate_change_log(spark, spec)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="cdc_replay_", dir=base)
-    table = LakeTable.create(spark, root + "/repos", schema, ["repo", "path"], n_buckets=32)
-    CdcEngine(table).replay(log, batch_size=5_000)
+    table = LakeTable.create(spark, root + "/repos", schema, ["repo", "path"], n_buckets=16)
+    CdcEngine(table).replay(log, batch_size=10_000)
     return table.read().select(
         "repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_digest")
     )
