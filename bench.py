@@ -43,6 +43,8 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float]:
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # queries persist() intermediate barriers; release between queries
+        spark.catalog.clearCache()
     spark.stop()
     return timings, total
 

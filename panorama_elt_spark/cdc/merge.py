@@ -82,6 +82,37 @@ class MergeStats:
     rows_deleted: int = 0
     buckets_touched: int = 0
     snapshot_version: int = -1
+    strategy: str = ""  # resolved physical strategy ("fused"/"bucket_local")
+
+
+_STRATEGIES = {"auto", "fused", "bucket_local"}
+
+
+def _resolve_requested_strategy(arg: str) -> str:
+    """Explicit argument wins; PANORAMA_MERGE_STRATEGY only fills in when
+    the caller left the default ("auto"). Unknown values raise instead of
+    silently degrading to the fused path."""
+    env = os.environ.get("PANORAMA_MERGE_STRATEGY")
+    requested = arg if arg and arg != "auto" else (env or "auto")
+    if requested not in _STRATEGIES:
+        raise ValueError(
+            f"unknown merge strategy {requested!r} (from "
+            f"{'PANORAMA_MERGE_STRATEGY' if requested == env else 'argument'}); "
+            f"expected one of {sorted(_STRATEGIES)}"
+        )
+    return requested
+
+
+def _root_is_shared_posix(root: str) -> bool:
+    """The bucket-local kernel reads resident files with pyarrow inside
+    executor tasks — every executor must see ``root`` as a plain POSIX
+    path (shared mount or single machine). Object-store roots
+    (s3a://...) are JVM-readable but not pyarrow-path-readable, so auto
+    never selects bucket_local for them (explicit opt-in still works if
+    the deployment mounts the store, e.g. via FUSE)."""
+    if "://" in root and not root.startswith("file://"):
+        return False
+    return os.path.isdir(root.removeprefix("file://"))
 
 
 @contextmanager
@@ -212,7 +243,7 @@ def merge_batch(
     # bucket's files at the current schema version (it reads them with
     # pyarrow, bypassing the JVM field-id mapping) and only pays off
     # when the resident side outweighs the batch.
-    strategy = os.environ.get("PANORAMA_MERGE_STRATEGY", strategy or "auto")
+    strategy = _resolve_requested_strategy(strategy)
     affected_files = [f for f in snap.files if f.bucket in affected]
     if strategy == "auto":
         uniform_schema = all(
@@ -221,14 +252,20 @@ def merge_batch(
         resident_rows = sum(f.rows for f in affected_files)
         rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
         # bucket_local removes the resident-side exchange — a win only
-        # where the exchange crosses a network. In local mode the
-        # shuffle is an in-memory copy and the Arrow hop costs more
+        # where the exchange crosses executor JVMs. Under plain local[N]
+        # the shuffle is an in-memory copy and the Arrow hop costs more
         # (measured 2x slower at 6M resident / 1M batch), so auto picks
-        # it only on a real cluster with a resident-dominated merge.
-        is_local = table.spark.sparkContext.master.startswith("local")
+        # it only with real executors (incl. local-cluster), a
+        # resident-dominated merge, and a root every executor can read
+        # as a POSIX path (see _root_is_shared_posix).
+        master = table.spark.sparkContext.master
+        single_jvm = master == "local" or master.startswith("local[")
         strategy = (
             "bucket_local"
-            if uniform_schema and not is_local and resident_rows > rows_in_total
+            if uniform_schema
+            and not single_jvm
+            and resident_rows > rows_in_total
+            and _root_is_shared_posix(table.root)
             else "fused"
         )
     elif strategy == "bucket_local" and any(
@@ -328,4 +365,5 @@ def merge_batch(
         rows_deleted=deleted,
         buckets_touched=len(affected),
         snapshot_version=new_snap.version,
+        strategy=strategy,
     )

@@ -8,6 +8,8 @@ engine (reference commands: ``panorama_elt.py:49-493``).
     python -m panorama_elt_spark.cli set-tables-fields --parquet F --out s.yaml
     python -m panorama_elt_spark.cli test-connections --root T [--log DIR]
     python -m panorama_elt_spark.cli vacuum           --root T
+    python -m panorama_elt_spark.cli drop-table       --root T
+    python -m panorama_elt_spark.cli list-tables      --base-dir DIR
 
 Packaged for ``spark-submit --py-files panorama_elt_spark.zip`` with
 this module as the application (north rule packaging requirement).
@@ -174,6 +176,24 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_drop_table(args) -> int:
+    """K6 (ref ``panorama_elt.py:252-280`` drop-datalake-tables)."""
+    spark = get_spark("panorama-drop")
+    table = LakeTable.load(spark, args.root)  # refuses non-tables
+    table.drop()
+    print(f"dropped table at {args.root}")
+    return 0
+
+
+def cmd_list_tables(args) -> int:
+    """S3 (ref ``mysql_datasource.py:126-135`` SHOW TABLES)."""
+    from .lakehouse.table import list_tables
+
+    for root in list_tables(args.base_dir):
+        print(root)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="panorama-elt-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -216,6 +236,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("vacuum")
     p.add_argument("--root", required=True)
     p.set_defaults(fn=cmd_vacuum)
+
+    p = sub.add_parser("drop-table")
+    p.add_argument("--root", required=True)
+    p.set_defaults(fn=cmd_drop_table)
+
+    p = sub.add_parser("list-tables")
+    p.add_argument("--base-dir", required=True)
+    p.set_defaults(fn=cmd_list_tables)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -64,6 +64,18 @@ def _parquet_row_counts(paths: list[str]) -> dict[str, int]:
         return dict(ex.map(count, paths))
 
 
+def list_tables(base_dir: str) -> list[str]:
+    """S3: table-list discovery (ref ``mysql_datasource.py:126-135``
+    ``SHOW TABLES``): every directory under ``base_dir`` holding a
+    snapshot log is a lake table. Returns sorted table roots."""
+    out = []
+    for name in sorted(os.listdir(base_dir)) if os.path.isdir(base_dir) else []:
+        root = os.path.join(base_dir, name)
+        if SnapshotLog(root).exists():
+            out.append(root)
+    return out
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -261,6 +273,26 @@ class LakeTable:
         return new_snap
 
     # ------------------------------------------------------------ maintenance
+
+    def drop(self) -> None:
+        """K6: drop the table — data, snapshot log, everything under the
+        root (ref ``panorama_datalake.py:348-370`` drops the Athena
+        table; here the snapshot log *is* the catalog entry, so removing
+        the root is the whole DDL). Views registered with
+        ``register_view`` are dropped via ``drop_view``."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    def register_view(self, name: str) -> None:
+        """Register the current table state as a session temp view (the
+        reference's raw-layer table registration)."""
+        self.read().createOrReplaceTempView(name)
+
+    def drop_view(self, name: str) -> bool:
+        """K6: drop a registered view (ref ``panorama_datalake.py``
+        drop-datalake-views). Returns whether the view existed."""
+        return self.spark.catalog.dropTempView(name)
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot.

@@ -79,8 +79,29 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def extract_features_builtin(media: DataFrame) -> DataFrame:
+    """The shipped feature kernel: pure JVM column expressions over the
+    binary payload — whole-stage codegen, zero Python in the plan. Use
+    ``extract_features`` (mapInPandas) only when a real codec must run;
+    anything expressible as built-ins belongs here (north rule: no
+    per-row Python on the hot path).
+    """
+    digest = F.sha2(F.col("payload"), 256)
+    return media.select(
+        "media_id",
+        F.length(F.col("payload")).cast("long").alias("byte_len"),
+        digest.alias("digest"),
+        (F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0)).alias(
+            "fake_dim0"
+        ),
+    )
+
+
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads.
+    """mapInPandas feature extraction over binary payloads — the codec
+    extension point (a real image/audio decoder slots into ``run``).
+    Produces the same columns as ``extract_features_builtin``; tests
+    assert the two paths agree.
 
     At scale: payloads are large, so partitions should be sized by bytes
     (spark.sql.files.maxPartitionBytes), and the Arrow batch size tuned

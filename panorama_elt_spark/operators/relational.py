@@ -15,22 +15,24 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def left_join_chain(
     fact: DataFrame,
-    dims: list[tuple[DataFrame, list[str] | Column]],
-    *,
-    broadcast_dims: bool = True,
+    dims: list[tuple],
 ) -> DataFrame:
     """The reference's J1: a fact table left-joined through a chain of
     dimensions (``openedx_view_enrollments.sql:40-49`` joins 7+ dims).
 
-    Dimensions are broadcast by default: in the 100 TB layout the fact
-    table (lineitem/enrollments) dominates and every dim fits in memory,
-    so the chain compiles to consecutive BroadcastHashJoins — zero
-    shuffle of the fact side, one pass.
+    ``dims``: [(df, on)] or [(df, on, broadcast: bool)]. Broadcast is
+    opt-in per dimension and must be claimed only for *bounded* tables
+    (nation, region — tables whose size is independent of the fact
+    scale): a broadcast side that grows with the data (orders, customer)
+    OOMs executors at 100×. Unhinted sides are left to Catalyst/AQE,
+    which picks broadcast when the runtime size allows and falls back to
+    shuffled join otherwise — the scale-safe default.
     """
     out = fact
-    for dim, on in dims:
-        d = F.broadcast(dim) if broadcast_dims else dim
-        out = out.join(d, on=on, how="left")
+    for dim in dims:
+        df, on = dim[0], dim[1]
+        bcast = dim[2] if len(dim) > 2 else False
+        out = out.join(F.broadcast(df) if bcast else df, on=on, how="left")
     return out
 
 

@@ -46,10 +46,10 @@ def cosine_topk(
     # warehouse scale the normalized projection is a persisted table.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv"))).localCheckpoint(eager=False)
+    ).withColumn("cn", norm(F.col("cv"))).persist()
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"))).localCheckpoint(eager=False)
+    ).withColumn("qn", norm(F.col("qv"))).persist()
     sim = (
         c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -84,19 +84,103 @@ def plane_signs(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
     ]
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+def hyperplane_bucket(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 42, first_plane: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(v · h_p), planes
-    from ``plane_signs`` (sign-pattern constants folded by Catalyst)."""
-    signs = plane_signs(dim, n_planes, seed)
+    ``first_plane..first_plane+n_planes-1`` from ``plane_signs``
+    (sign-pattern constants folded by Catalyst)."""
+    signs = plane_signs(dim, first_plane + n_planes, seed)
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(s) for s in signs[p]])
+        plane = F.array(*[F.lit(s) for s in signs[first_plane + p]])
         proj = dot(_to_double(vec), plane)
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via *banded* hyperplane LSH
+    (OR of ``n_bands`` AND-blocks of ``planes_per_band`` planes) with an
+    exact-cosine verify — the classic SimHash-family block-then-verify.
+
+    Scale bound: each band partitions the corpus into 2^planes_per_band
+    buckets; raising ``planes_per_band`` grows bucket cardinality
+    exponentially (and ``n_bands`` restores recall), so block width is a
+    tunable O(|corpus| / 2^p) — never a fixed attribute domain whose
+    blocks grow linearly with the data. Candidate generation self-joins
+    only (vec_id, band, bucket); vectors and norms are computed once
+    behind a persist barrier and join in per *pair*.
+
+    Returns (vec_a, vec_b, cos_sim) with cos_sim >= threshold.
+    """
+    base = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            _to_double(F.col(vec_col)).alias("v"),
+            *[
+                hyperplane_bucket(
+                    F.col(vec_col), dim, planes_per_band, seed, first_plane=b * planes_per_band
+                ).alias(f"bkt{b}")
+                for b in range(n_bands)
+            ],
+        )
+        .withColumn("nrm", norm(F.col("v")))
+        .persist()
+    )
+    buckets = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bkt{b}").alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = base.select("vec_id", "v", "nrm")
+    pairs = (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+            on="vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+            on="vec_b",
+        )
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos_sim")
+    return (
+        pairs.select("vec_a", "vec_b", cos)
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def ivf_cells(
@@ -118,7 +202,7 @@ def ivf_cells(
     c = (
         corpus.select(F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"))
         .withColumn("nrm", norm(F.col("v")))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     cents = c.filter(F.col("vid") < n_centroids).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
@@ -158,7 +242,7 @@ def cosine_topk_ivf(
     # corpus branch read it (at warehouse scale this is a persisted table)
     cells = ivf_cells(
         corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
-    ).localCheckpoint(eager=False)
+    ).persist()
     q = cells.join(
         queries.select(F.col(id_col).alias("vid")), on="vid", how="left_semi"
     ).select(
@@ -201,12 +285,12 @@ def cosine_topk_lsh(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).withColumn("cn", norm(F.col("cv"))).localCheckpoint(eager=False)
+    ).withColumn("cn", norm(F.col("cv"))).persist()
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).withColumn("qn", norm(F.col("qv"))).localCheckpoint(eager=False)
+    ).withColumn("qn", norm(F.col("qv"))).persist()
     sim = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -18,7 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def md5hash56(col: Column, salt: str = "") -> Column:
@@ -115,26 +115,21 @@ def minhash_signatures_df(
     return ex.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    n_hashes: int = 8,
-    n_bands: int = 4,
-    shingle_k: int = 3,
-    jaccard_threshold: float = 0.5,
+def band_bucket_rows(
+    sigs: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """MinHash + LSH banding → candidate pairs → exact shingle-Jaccard
-    verification. Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+    """Explode a signature row into (doc_id, band, bucket) LSH rows.
 
-    rows_per_band = n_hashes / n_bands; a pair collides in a band iff
-    that band's signature slice matches exactly.
+    ``max_bucket_size`` is the hot-bucket cap: buckets wider than the cap
+    (boilerplate-heavy corpora produce a handful of such degenerate
+    buckets, each O(width²) candidate pairs) are dropped entirely — a
+    deterministic bound that keeps the verify stage linear in the number
+    of *useful* candidates. The windowed count shuffles on (band, bucket),
+    the same key as the downstream self-join, so AQE reuses the exchange.
     """
-    rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures_df(
-        df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k, with_shingles=True
-    ).localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -146,12 +141,45 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    # slim candidate generation: only (doc_id, band, bucket) travels
-    # through the self-join shuffle; shingle sets join in afterwards,
-    # once per *candidate pair*, not per band row.
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    return buckets
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH banding → candidate pairs → exact shingle-Jaccard
+    verification. Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+
+    rows_per_band = n_hashes / n_bands; a pair collides in a band iff
+    that band's signature slice matches exactly. ``max_bucket_size``
+    caps hot buckets (see ``band_bucket_rows``).
+    """
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k, with_shingles=True
+    ).persist()
+    # slim candidate generation: only (doc_id, band, bucket) travels
+    # through the self-join shuffle; shingle sets join in afterwards,
+    # once per *candidate pair*, not per band row.
+    buckets = band_bucket_rows(sigs, n_bands, rows_per_band, max_bucket_size)
 
     cand = (
         buckets.alias("a")
@@ -225,7 +253,7 @@ def ngram_jaccard_pairs(
             ).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=False)
+        .persist()
     )
     a, b = sh.alias("a"), sh.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
@@ -247,6 +275,69 @@ def ngram_jaccard_pairs(
         pairs.select("doc_a", "doc_b", jac)
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.1,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by the corpus's own
+    MinHash-LSH band buckets instead of an attribute key.
+
+    Scale bound: bucket cardinality grows with the corpus (a bucket is an
+    md5 of a signature slice — its count is ~|docs| × collision rate, not
+    a fixed attribute domain), so block width stays O(cluster size) at
+    100× data; ``max_bucket_size`` deterministically drops the few
+    degenerate boilerplate buckets. Verification intersects 56-bit
+    *hashed* shingle sets — fixed-width int compares, computed once per
+    doc behind a persist barrier, joined once per candidate pair.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = n_hashes // n_bands
+    sh = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("__sg"))
+    md5 = F.md5(F.col("__sg"))
+    h32 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
+    h56 = F.conv(F.substring(md5, 1, 14), 16, 10).cast("bigint")
+    aggs = [
+        F.min((F.lit(a) * h32 + F.lit(b)) % M31).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    aggs.append(F.collect_set(h56).alias("sh"))
+    sigs = ex.groupBy("doc_id").agg(*aggs).persist()
+
+    buckets = band_bucket_rows(sigs, n_bands, rows_per_band, max_bucket_size)
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sigs.select("doc_id", "sh")
+    pairs = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), on="doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), on="doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 6
+    ).alias("jaccard")
+    return pairs.select("doc_a", "doc_b", jac).filter(F.col("jaccard") >= threshold)
 
 
 def simhash16(text: Column) -> Column:
@@ -310,32 +401,64 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dupes(
-    df: DataFrame, id_col: str, text_col: str, block_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_bits: int = 16,
+    n_chunks: int = 4,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked by
-    ``block_col`` to bound the self-join (at scale: block on simhash
-    prefix bands instead)."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(block_col).alias("block"),
-        simhash16(F.col(text_col)).alias("simhash"),
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long")
-    ).alias("hamming")
-    return (
-        a.join(
-            b,
+    """Near-dup pairs by SimHash hamming distance, blocked on simhash
+    *chunks* (the Manku/Jain/Sarma fingerprint-permutation scheme): two
+    hashes within hamming ``max_hamming`` must agree exactly on at least
+    one of ``n_chunks`` bit-slices when ``max_hamming < n_chunks``
+    (pigeonhole) — so the blocking is candidate-complete, not heuristic.
+    Candidates self-join on (chunk_idx, chunk_value); at 64-bit simhash
+    scale each chunk has 2^16 values and block width tracks corpus
+    near-dup density, not an attribute domain.
+
+    Returns (doc_a, doc_b, hamming) with hamming <= max_hamming.
+    """
+    assert max_hamming < n_chunks, "completeness needs max_hamming < n_chunks"
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = simhash_df(df, id_col, text_col).persist()
+    chunks = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "cc.chunk", "cc.val")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
             on=[
-                F.col("a.block") == F.col("b.block"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.val") == F.col("b.val"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham,
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash")).cast("long")
+    ).cast("int").alias("hamming")
+    return (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sh.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", ham)
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -11,13 +11,14 @@ m* multimodal, cdc_* the engine itself.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.normalize import escape_control_chars
 from .functions.typed_view import raw_string_columns, typed_view_columns
-from .operators import multimodal, similarity, text, textdedup
+from .operators import multimodal, nested, similarity, text, textdedup
 from .operators.relational import (
     anti_join,
     argminmax_summary,
@@ -59,15 +60,19 @@ def _sql_lang_score(lang_words: list[str]) -> str:
 
 def j1_left_join_chain(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
+    # broadcast only bounded dims (nation=25, region=5, supplier, part);
+    # orders/customer grow with the fact table — broadcasting them OOMs
+    # at scale, so they are left unhinted for AQE to plan (shuffled join
+    # at 100 TB, runtime broadcast at toy SF).
     joined = left_join_chain(
         li,
         [
             (load_table(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey")),
             (load_table(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey")),
-            (load_table(spark, sf, "nation"), F.col("c_nationkey") == F.col("n_nationkey")),
-            (load_table(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey")),
-            (load_table(spark, sf, "part"), F.col("l_partkey") == F.col("p_partkey")),
-            (load_table(spark, sf, "supplier"), F.col("l_suppkey") == F.col("s_suppkey")),
+            (load_table(spark, sf, "nation"), F.col("c_nationkey") == F.col("n_nationkey"), True),
+            (load_table(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey"), True),
+            (load_table(spark, sf, "part"), F.col("l_partkey") == F.col("p_partkey"), True),
+            (load_table(spark, sf, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"), True),
         ],
     )
     return joined.select(
@@ -124,10 +129,10 @@ def a1_conditional_count_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 _A1_SQL = """
 SELECT o_custkey,
-       count_if(o_orderstatus = 'O') AS n_open,
-       count_if(o_orderstatus = 'F') AS n_finished,
-       count_if(o_orderstatus = 'P') AS n_pending,
-       count_if(o_orderpriority LIKE '1%') AS n_urgent,
+       CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS n_pending,
+       CAST(count_if(o_orderpriority LIKE '1%') AS BIGINT) AS n_urgent,
        count(*) AS n_orders,
        max(o_totalprice) AS max_price
 FROM orders GROUP BY o_custkey
@@ -151,7 +156,9 @@ def a2_argminmax_csv_agg(spark: SparkSession, sf: str) -> DataFrame:
             "n_events": F.count("*"),
             "first_ts": F.min("ts"),
             "last_ts": F.max("ts"),
-            "total_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)"),
+            # decimal internally (exact, order-independent sum), DOUBLE on
+            # the wire — DECIMAL output hashes differently in the driver
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
         },
     )
 
@@ -164,7 +171,7 @@ SELECT user_id,
        count(*) AS n_events,
        min(ts) AS first_ts,
        max(ts) AS last_ts,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id
 """
 
@@ -324,6 +331,91 @@ SELECT c.c_name, n.n_name, 2 FROM customer c LEFT JOIN nation n ON c.c_nationkey
 """
 
 # ---------------------------------------------------------------------------
+# S5 + J4b — nested-document source: existence filter on a nested field,
+# struct-array flatten, and the true fill_parents attribute copy-down.
+# The deterministic nested fixture is materialized to a fixed parquet
+# path (same pattern as the CDC log) so DuckDB can verify with UNNEST +
+# a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_NESTED_WRITTEN = False
+
+
+def _nested_root() -> str:
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, "panorama_nested_docs")
+
+
+def _nested_docs(spark: SparkSession) -> DataFrame:
+    global _NESTED_WRITTEN
+    import atexit
+    import shutil
+
+    path = os.path.join(_nested_root(), "course_docs")
+    if not _NESTED_WRITTEN:
+        shutil.rmtree(_nested_root(), ignore_errors=True)
+        atexit.register(shutil.rmtree, _nested_root(), ignore_errors=True)
+        nested.generate_course_docs(spark).write.mode("overwrite").parquet(path)
+        _NESTED_WRITTEN = True
+    return spark.read.parquet(path)
+
+
+def s5_nested_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _nested_docs(spark)
+    flat = nested.flatten_blocks(nested.filter_published(docs))
+    return flat.select(
+        "course_id",
+        "block_id",
+        "block_type",
+        "display_name",
+        F.size("children").cast("bigint").alias("n_children"),
+    )
+
+
+def _s5_sql() -> str:
+    return f"""
+WITH docs AS (SELECT * FROM read_parquet('{_nested_root()}/course_docs/*.parquet')),
+blk AS (SELECT course_id, unnest(blocks) AS b FROM docs WHERE versions.published_branch IS NOT NULL)
+SELECT course_id, b.block_id AS block_id, b.block_type AS block_type,
+       b.display_name AS display_name, CAST(len(b.children) AS BIGINT) AS n_children
+FROM blk
+"""
+
+
+def j4b_fill_parent_attrs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _nested_docs(spark)
+    flat = nested.flatten_blocks(nested.filter_published(docs))
+    return nested.fill_parent_attrs(flat, max_depth=4)
+
+
+def _j4b_sql() -> str:
+    return f"""
+WITH RECURSIVE docs AS (SELECT * FROM read_parquet('{_nested_root()}/course_docs/*.parquet')),
+blk AS (SELECT course_id, unnest(blocks) AS b FROM docs WHERE versions.published_branch IS NOT NULL),
+flat AS (SELECT course_id, b.block_id AS block_id, b.block_type AS block_type,
+                b.display_name AS display_name, b.children AS children FROM blk),
+edges AS (SELECT course_id, block_id AS parent_id, unnest(children) AS child_id FROM flat),
+walk AS (
+  SELECT course_id, block_id, block_type, display_name,
+         [display_name] AS anc, 0 AS level
+  FROM flat WHERE block_type = 'course'
+  UNION ALL
+  SELECT f.course_id, f.block_id, f.block_type, f.display_name,
+         list_append(w.anc, f.display_name), w.level + 1
+  FROM walk w
+  JOIN edges e ON e.course_id = w.course_id AND e.parent_id = w.block_id
+  JOIN flat f ON f.course_id = e.course_id AND f.block_id = e.child_id
+  WHERE w.level < 4
+)
+SELECT course_id, block_id, block_type, display_name, CAST(level AS INTEGER) AS level,
+       anc[1] AS course_name, anc[2] AS chapter_name,
+       anc[3] AS sequential_name, anc[4] AS vertical_name
+FROM walk
+"""
+
+# ---------------------------------------------------------------------------
 # F8 — control-char escaping + sha256 digest (mysql_datasource.py:38-51)
 # ---------------------------------------------------------------------------
 
@@ -389,27 +481,45 @@ FROM s
 """
 
 
+_LSH_BUCKET_CAP = 512
+
+
 def d3_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return textdedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=_N_HASHES, n_bands=_N_BANDS, jaccard_threshold=0.0
+        docs,
+        "doc_id",
+        "text",
+        n_hashes=_N_HASHES,
+        n_bands=_N_BANDS,
+        jaccard_threshold=0.0,
+        max_bucket_size=_LSH_BUCKET_CAP,
+    )
+
+
+def _sql_band_union(src: str, id_col: str = "doc_id") -> str:
+    rows_per_band = _N_HASHES // _N_BANDS
+    return "\nUNION ALL\n".join(
+        "SELECT {id}, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM {src}".format(
+            id=id_col,
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+            src=src,
+        )
+        for b in range(_N_BANDS)
     )
 
 
 def _d3_sql() -> str:
-    rows_per_band = _N_HASHES // _N_BANDS
-    bands = "\nUNION ALL\n".join(
-        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
-            b=b,
-            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
-        )
-        for b in range(_N_BANDS)
-    )
     return f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
 sd AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
 sigs AS (SELECT doc_id, sh, {_sql_minhash_cols()} FROM sd),
-bands AS ({bands}),
+bands_raw AS ({_sql_band_union("sigs")}),
+bands AS (
+  SELECT doc_id, band, bucket FROM bands_raw
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {_LSH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -423,7 +533,10 @@ JOIN sigs sb ON sb.doc_id = cand.doc_b
 """
 
 # ---------------------------------------------------------------------------
-# D6 — exact n-gram Jaccard near-dup pairs (block-then-verify)
+# D6 — exact n-gram Jaccard near-dup pairs, blocked by the corpus's own
+# MinHash-LSH band buckets (block cardinality grows with the corpus —
+# an attribute key like (source, lang) has fixed domain, so its blocks
+# grow linearly and verification is quadratic inside them)
 # ---------------------------------------------------------------------------
 
 _D6_THRESHOLD = 0.1
@@ -431,25 +544,44 @@ _D6_THRESHOLD = 0.1
 
 def d6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return textdedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", ["source", "lang"], threshold=_D6_THRESHOLD
+    return textdedup.ngram_jaccard_pairs_lsh(
+        docs,
+        "doc_id",
+        "text",
+        n_hashes=_N_HASHES,
+        n_bands=_N_BANDS,
+        threshold=_D6_THRESHOLD,
+        max_bucket_size=_LSH_BUCKET_CAP,
     )
 
 
 def _d6_sql() -> str:
     return f"""
-WITH t AS (SELECT doc_id, source, lang, {_SQL_TOKENS} AS w FROM documents),
-s AS (
-  SELECT doc_id, source, lang,
-         [{_sql_h56("sg")} for sg in list_distinct({_SQL_SHINGLES})] AS sh
-  FROM t WHERE len(w) >= 3
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+sd AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+sigs AS (
+  SELECT doc_id,
+         list_distinct([{_sql_h56("sg")} for sg in sh]) AS shh,
+         {_sql_minhash_cols()}
+  FROM sd WHERE len(sh) > 0
+),
+bands_raw AS ({_sql_band_union("sigs")}),
+bands AS (
+  SELECT doc_id, band, bucket FROM bands_raw
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {_LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-  FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE)
+               / (len(sa.shh) + len(sb.shh) - len(list_intersect(sa.shh, sb.shh))), 6) AS jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.doc_a
+  JOIN sigs sb ON sb.doc_id = cand.doc_b
 ) WHERE jaccard >= {_D6_THRESHOLD}
 """
 
@@ -471,6 +603,51 @@ def _d4_sql() -> str:
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
 h AS (SELECT doc_id, [CAST('0x'||substr(md5(tk),1,4) AS INTEGER) for tk in w] AS th FROM t)
 SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM h
+"""
+
+# ---------------------------------------------------------------------------
+# D7 — SimHash near-dup pairs, chunk-blocked (candidate-complete for
+# hamming <= n_chunks-1 by pigeonhole)
+# ---------------------------------------------------------------------------
+
+# 16-bit toy fingerprint → 2 chunks of 8 bits, hamming <= 1 (complete by
+# pigeonhole). Production shape is 64-bit simhash, 4 chunks of 16 bits,
+# hamming <= 3 — same operator, wider chunks.
+_D7_MAX_HAMMING, _D7_CHUNKS = 1, 2
+
+
+def d7_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textdedup.simhash_near_dupes(
+        docs, "doc_id", "text", n_chunks=_D7_CHUNKS, max_hamming=_D7_MAX_HAMMING
+    )
+
+
+def _d7_sql() -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_sum([CASE WHEN ((h>>{b})&1)=1 THEN 1 ELSE -1 END for h in th]) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )
+    chunk_bits = 16 // _D7_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash >> {c * chunk_bits}) & {mask} AS val FROM sh"
+        for c in range(_D7_CHUNKS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+h AS (SELECT doc_id, [CAST('0x'||substr(md5(tk),1,4) AS INTEGER) for tk in w] AS th FROM t),
+sh AS (SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM h),
+chunks AS ({chunks}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b
+) WHERE hamming <= {_D7_MAX_HAMMING}
 """
 
 # ---------------------------------------------------------------------------
@@ -671,44 +848,108 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
-# D5 — embedding-cosine near-duplicate pairs (blocked self-join)
+# F13 — url-encoded partition path values (panorama_datalake.py:185,190,
+# 244,248 url-encodes every partition value before building the S3 path)
+# + J5 — zip-join of parallel lists (mysql_datasource.py:281 zips column
+# names with row values)
+# ---------------------------------------------------------------------------
+
+def f13_url_encoded_partition(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    # a partition value with a space and a slash — the two characters
+    # that corrupt a path-addressed layout when written raw
+    raw = F.format_string("%s %s/%d", F.col("source"), F.col("lang"), F.col("doc_id"))
+    enc = F.url_encode(raw)
+    return docs.select(
+        "doc_id",
+        raw.alias("part_value"),
+        enc.alias("part_encoded"),
+        F.url_decode(enc).alias("part_roundtrip"),
+    )
+
+
+# DuckDB (this build) has no url_encode; the fixture values are
+# [A-Za-z0-9], space and '/' only, so form-encoding reduces to two
+# replaces (space→'+', '/'→'%2F') — exact over this domain.
+_F13_SQL = """
+SELECT doc_id,
+       printf('%s %s/%d', source, lang, doc_id) AS part_value,
+       replace(replace(printf('%s %s/%d', source, lang, doc_id), '/', '%2F'), ' ', '+') AS part_encoded,
+       printf('%s %s/%d', source, lang, doc_id) AS part_roundtrip
+FROM documents
+"""
+
+
+def j5_zip_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """J5: zip two parallel arrays positionally and explode the pairs —
+    the reference's dict(zip(column_names, row)) row-assembly idiom."""
+    docs = load_table(spark, sf, "documents")
+    tokens = textdedup.word_tokens(F.col("text"))
+    lens = F.transform(tokens, lambda t: F.length(t).cast("bigint"))
+    z = docs.select("doc_id", F.explode(F.arrays_zip(tokens.alias("tok"), lens.alias("tok_len"))).alias("p"))
+    return z.select(
+        "doc_id", F.col("p.tok").alias("tok"), F.col("p.tok_len").alias("tok_len")
+    ).filter(F.col("tok_len") >= 8)
+
+
+_J5_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+z AS (SELECT doc_id, unnest(list_zip(w, [CAST(length(tk) AS BIGINT) for tk in w])) AS p FROM t)
+SELECT doc_id, p[1] AS tok, p[2] AS tok_len FROM z WHERE p[2] >= 8
+"""
+
+# ---------------------------------------------------------------------------
+# D5 — embedding-cosine near-duplicate pairs via banded hyperplane LSH
+# (block cardinality = n_bands × 2^planes_per_band, tunable with the
+# corpus — unlike the 10-value `label` attribute, whose blocks grow
+# linearly and make the verify quadratic at 100×)
 # ---------------------------------------------------------------------------
 
 _D5_THRESHOLD = 0.35
+_D5_BANDS, _D5_PLANES_PER_BAND = 4, 8
 
 
 def d5_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    # precompute the double-cast vector and its norm once per row and
-    # materialize — inlined into the self-join condition they would be
-    # re-evaluated per candidate pair
-    e = emb.select(
-        F.col("vec_id"),
-        F.col("label"),
-        similarity._to_double(F.col("embedding")).alias("v"),
-    ).withColumn("nrm", similarity.norm(F.col("v"))).localCheckpoint(eager=False)
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        similarity.dot(F.col("a.v"), F.col("b.v"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    ).alias("cos_sim")
-    return (
-        a.join(
-            b,
-            on=[F.col("a.label") == F.col("b.label"), F.col("a.vec_id") < F.col("b.vec_id")],
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos)
-        .filter(F.col("cos_sim") >= _D5_THRESHOLD)
+    return similarity.embedding_neardup_pairs(
+        emb,
+        dim=_DIM,
+        threshold=_D5_THRESHOLD,
+        n_bands=_D5_BANDS,
+        planes_per_band=_D5_PLANES_PER_BAND,
     )
 
 
-_D5_SQL = f"""
-WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {_D5_THRESHOLD}
+def _d5_sql() -> str:
+    signs = similarity.plane_signs(_DIM, _D5_BANDS * _D5_PLANES_PER_BAND)
+
+    def band_bucket(b: int) -> str:
+        return " + ".join(
+            "CASE WHEN list_dot_product(v, [{pl}]) > 0 THEN {bit} ELSE 0 END".format(
+                pl=", ".join(str(x) for x in signs[b * _D5_PLANES_PER_BAND + p]),
+                bit=1 << p,
+            )
+            for p in range(_D5_PLANES_PER_BAND)
+        )
+
+    bands = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {band_bucket(b)} AS bucket FROM e"
+        for b in range(_D5_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT vec_a, vec_b,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+  FROM cand JOIN e ea ON ea.vec_id = cand.vec_a JOIN e eb ON eb.vec_id = cand.vec_b
+) WHERE cos_sim >= {_D5_THRESHOLD}
 """
 
 # ---------------------------------------------------------------------------
@@ -718,7 +959,10 @@ WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqr
 def m1_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     media = multimodal.documents_as_media(docs)
-    return multimodal.extract_features(media)
+    # built-in kernel (zero Python in the physical plan); the
+    # mapInPandas codec path is the tested extension point for real
+    # decoders — see tests/test_sources_cli.py multimodal parity test
+    return multimodal.extract_features_builtin(media)
 
 
 _M1_SQL = """
@@ -730,14 +974,27 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
-# CDC — the engine itself, run end-to-end on a generated log
-# (non-SQL-expressible: stateful multi-batch replay with checkpoint +
-#  schema registry; driver records rows-only check)
+# CDC — the engine itself, run end-to-end on a generated log. The
+# deterministic log is persisted to a fixed parquet path as part of the
+# query, so the DuckDB oracle can replay it independently (LWW by max
+# LSN per key, deletes dropped, sha256(content) — the BASELINE.json
+# per-row invariant) and the driver verifies the engine's final table
+# state with the full rows+schema+hash gate.
 # ---------------------------------------------------------------------------
 
-def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
-    import os
+def _cdc_replay_root() -> str:
+    """Fixed per-host scratch root (RAM-backed when available). Reused —
+    wiped and rewritten on every call — so repeated bench/test/oracle
+    runs never accumulate leaked table copies."""
     import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, "panorama_cdc_replay")
+
+
+def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
 
     from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
     from .lakehouse import Field, LakeTable, TableSchema
@@ -754,13 +1011,27 @@ def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
     )
     spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
     log = generate_change_log(spark, spec)
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    root = tempfile.mkdtemp(prefix="cdc_replay_", dir=base)
-    table = LakeTable.create(spark, root + "/repos", schema, ["repo", "path"], n_buckets=16)
+    root = _cdc_replay_root()
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16)
     CdcEngine(table).replay(log, batch_size=10_000)
     return table.read().select(
         "repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_digest")
     )
+
+
+def _cdc_sql() -> str:
+    # independent-engine replay of the persisted log: collapse duplicate
+    # deliveries (DISTINCT), LWW per (repo, path) by max lsn, drop deletes
+    return f"""
+SELECT repo, path, commit, lang, sha256(content) AS content_digest FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM (SELECT DISTINCT lsn, op, repo, path, commit, lang, content
+        FROM read_parquet('{_cdc_replay_root()}/log/*.parquet'))
+) WHERE rn = 1 AND op <> 'D'
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -779,6 +1050,8 @@ def queries() -> dict[str, QueryFn]:
         "j3_semi_join": j3_semi_join,
         "j3b_anti_join": j3b_anti_join,
         "j4_tree_fill": j4_tree_fill,
+        "s5_nested_flatten": s5_nested_flatten,
+        "j4b_fill_parent_attrs": j4b_fill_parent_attrs,
         "f8_normalize_digest": f8_normalize_digest,
         "d1_exact_dedupe": d1_exact_dedupe,
         "d2_minhash_signatures": d2_minhash_signatures,
@@ -786,8 +1059,11 @@ def queries() -> dict[str, QueryFn]:
         "d4_simhash": d4_simhash,
         "d5_embedding_neardup": d5_embedding_neardup,
         "d6_ngram_jaccard": d6_ngram_jaccard,
+        "d7_simhash_neardup": d7_simhash_neardup,
         "a6_regex_tag_count": a6_regex_tag_count,
         "f11_id_roundtrip": f11_id_roundtrip,
+        "f13_url_encoded_partition": f13_url_encoded_partition,
+        "j5_zip_lists": j5_zip_lists,
         "s1_ann_cosine_topk": s1_ann_cosine_topk,
         "s2_ann_cosine_lsh": s2_ann_cosine_lsh,
         "s3_ann_cosine_ivf": s3_ann_cosine_ivf,
@@ -809,19 +1085,26 @@ def oracle_sql() -> dict[str, str]:
         "j3_semi_join": _J3_SQL,
         "j3b_anti_join": _J3B_SQL,
         "j4_tree_fill": _J4_SQL,
+        "s5_nested_flatten": _s5_sql(),
+        "j4b_fill_parent_attrs": _j4b_sql(),
         "f8_normalize_digest": _F8_SQL,
         "d1_exact_dedupe": _D1_SQL,
         "d2_minhash_signatures": _d2_sql(),
         "d3_minhash_lsh_pairs": _d3_sql(),
         "d4_simhash": _d4_sql(),
-        "d5_embedding_neardup": _D5_SQL,
+        "d5_embedding_neardup": _d5_sql(),
         "d6_ngram_jaccard": _d6_sql(),
+        "d7_simhash_neardup": _d7_sql(),
         "a6_regex_tag_count": _A6_SQL,
         "f11_id_roundtrip": _F11_SQL,
+        "f13_url_encoded_partition": _F13_SQL,
+        "j5_zip_lists": _J5_SQL,
         "s1_ann_cosine_topk": _S1_SQL,
         "s2_ann_cosine_lsh": _s2_sql(),
         "s3_ann_cosine_ivf": _S3_SQL,
         "t1_text_profile": _t1_sql(),
         "m1_multimodal_features": _M1_SQL,
-        # cdc_replay_state intentionally has no oracle (stateful replay)
+        # the replay query persists its generated log to a fixed parquet
+        # path; the oracle re-derives the final state from that log
+        "cdc_replay_state": _cdc_sql(),
     }

@@ -308,9 +308,27 @@ def test_bucket_local_falls_back_on_mixed_schema_versions(spark, tmp_path):
 
 def test_auto_strategy_is_fused_in_local_mode(spark, tmp_path):
     """auto must not pick the Arrow hop under a local master (measured
-    slower than the in-memory shuffle it avoids)."""
+    slower than the in-memory shuffle it avoids) — assert the *resolved*
+    strategy, not just the (strategy-independent) final state."""
     t = _make_table(spark, tmp_path)
     log = generate_change_log(spark, SPEC)
-    merge_batch(t, log, "b0", strategy="auto")
+    stats = merge_batch(t, log, "b0", strategy="auto")
+    assert stats.strategy == "fused"
     plan_rows = _rows(t.read())
     assert plan_rows == _rows(expected_final_state(spark, SPEC))
+
+
+def test_strategy_argument_beats_env_and_invalid_raises(spark, tmp_path, monkeypatch):
+    t = _make_table(spark, tmp_path)
+    log = generate_change_log(spark, SPEC)
+    # explicit argument wins over the env var
+    monkeypatch.setenv("PANORAMA_MERGE_STRATEGY", "bucket_local")
+    stats = merge_batch(t, log, "b0", strategy="fused")
+    assert stats.strategy == "fused"
+    # unknown strategy (arg or env) raises instead of silently degrading
+    monkeypatch.setenv("PANORAMA_MERGE_STRATEGY", "bucketlocal")
+    with pytest.raises(ValueError, match="bucketlocal"):
+        merge_batch(t, log, "b1", strategy="auto")
+    monkeypatch.delenv("PANORAMA_MERGE_STRATEGY")
+    with pytest.raises(ValueError, match="fussed"):
+        merge_batch(t, log, "b1", strategy="fussed")

@@ -35,8 +35,9 @@ def test_oracle_keys_subset_of_queries():
     mod = _load_entry()
     q, o = mod.queries(), mod.oracle_sql()
     assert set(o) <= set(q)
-    # every query except the stateful CDC replay has an oracle
-    assert set(q) - set(o) == {"cdc_replay_state"}
+    # every query — including the stateful CDC replay, whose generated
+    # log is persisted to parquet for the oracle — has an oracle pair
+    assert set(q) == set(o)
 
 
 @pytest.mark.parametrize(

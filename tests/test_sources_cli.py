@@ -92,3 +92,29 @@ def test_cli_end_to_end(tmp_path, spark):
     assert info["last_lsn"] == 499 and info["rows"] > 0
     r = _run_cli(["test-connections", "--root", "T", "--log", "log"], cwd)
     assert r.returncode == 0 and "table: OK" in r.stdout
+    # S2/K8: schema introspection writes a loadable settings YAML
+    r = _run_cli(
+        ["set-tables-fields", "--parquet", "log", "--out", "introspected.yaml",
+         "--key-cols", "repo,path"], cwd,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    import yaml
+
+    doc = yaml.safe_load((tmp_path / "introspected.yaml").read_text())
+    assert doc["key_cols"] == ["repo", "path"]
+    assert {f["name"] for f in doc["fields"]} >= {"repo", "path", "op", "lsn"}
+    # vacuum: re-replay left orphan snapshots' files? at minimum it runs
+    # and the table stays readable
+    r = _run_cli(["vacuum", "--root", "T"], cwd)
+    assert r.returncode == 0 and "orphan" in r.stdout
+    r = _run_cli(["table-info", "--root", "T"], cwd)
+    assert json.loads(r.stdout)["rows"] > 0
+    # S3: list-tables discovers the table root (and only table roots)
+    r = _run_cli(["list-tables", "--base-dir", "."], cwd)
+    assert r.returncode == 0 and r.stdout.strip().splitlines() == ["./T"]
+    # K6: drop-table removes it; list-tables then finds nothing
+    r = _run_cli(["drop-table", "--root", "T"], cwd)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert not os.path.exists(str(tmp_path / "T"))
+    r = _run_cli(["list-tables", "--base-dir", "."], cwd)
+    assert r.returncode == 0 and r.stdout.strip() == ""

@@ -63,6 +63,7 @@ def main():
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = sdf.collect()
+            spark.catalog.clearCache()  # release per-query persist barriers
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
