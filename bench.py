@@ -49,17 +49,24 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float]:
     return timings, total
 
 
-def run_replay_level(cpus: int, events: int) -> dict:
+def run_replay_level(cpus: int, events: int, master: str | None = None) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "20g")
+    cmd = [
+        sys.executable, "-m", "panorama_elt_spark.bench_replay",
+        "--cpus", str(cpus), "--events", str(events),
+        "--keys", str(max(events // 10, 1000)),
+        # 2 batches: per-batch fixed costs (two job submissions + one
+        # snapshot commit) amortize as they would at the target scale,
+        # where a batch is ~10^9 events; still multi-batch, so the
+        # checkpoint/exactly-once path is exercised.
+        "--batches", "2",
+        "--repeats", "3",
+    ]
+    if master:
+        cmd += ["--master", master]
     out = subprocess.run(
-        [
-            sys.executable, "-m", "panorama_elt_spark.bench_replay",
-            "--cpus", str(cpus), "--events", str(events),
-            "--keys", str(max(events // 10, 1000)), "--batches", "4",
-            "--repeats", "4",
-        ],
-        capture_output=True, text=True, cwd=REPO, env=env, check=True,
+        cmd, capture_output=True, text=True, cwd=REPO, env=env, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -75,30 +82,47 @@ def main() -> None:
 
     timings, total = run_queries(sf_dir, cpus)
 
+    # three levels → two N-vs-4N pairings: lo→hi is the headline
+    # (local[8]→local[32] by default); min→lo (local[2]→local[8]) shows
+    # scaling where the box's memory bus is not yet saturated. See
+    # BASELINE.md "Measured results" for the minimal-shuffle ceiling
+    # calibration of both pairings on this host.
     lo_cpus = max(cpus // 4, 1)
+    min_cpus = max(lo_cpus // 4, 1)
+    mn = run_replay_level(min_cpus, events)
     lo = run_replay_level(lo_cpus, events)
     hi = run_replay_level(cpus, events)
-    efficiency = round(
-        (hi["events_per_sec"] / lo["events_per_sec"]) / (cpus / lo_cpus), 3
-    )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_plus_cdc_replay",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc_replay": {
-                    "events": events,
-                    "local_lo": lo,
-                    "local_hi": hi,
-                    "scaling_efficiency": efficiency,
-                },
-            }
+    def eff(a: dict, b: dict, factor: float) -> float:
+        return round((b["events_per_sec"] / a["events_per_sec"]) / factor, 3)
+
+    report = {
+        "metric": "headline_queries_total_plus_cdc_replay",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc_replay": {
+            "events": events,
+            "local_min": mn,
+            "local_lo": lo,
+            "local_hi": hi,
+            "scaling_efficiency": eff(lo, hi, cpus / lo_cpus),
+            "scaling_efficiency_unsaturated": eff(mn, lo, lo_cpus / min_cpus),
+        },
+    }
+    # optional: the same pairing with real executor JVMs (separate
+    # processes, serialized netty shuffle). Slow; opt-in.
+    if os.environ.get("SPARK_GRAFT_BENCH_LC") == "1":
+        lc_lo = run_replay_level(lo_cpus, events, master=f"local-cluster[1,{lo_cpus},9216]")
+        lc_hi = run_replay_level(cpus, events, master=f"local-cluster[4,{lo_cpus},9216]")
+        report["cdc_replay"]["local_cluster_lo"] = lc_lo
+        report["cdc_replay"]["local_cluster_hi"] = lc_hi
+        report["cdc_replay"]["scaling_efficiency_local_cluster"] = eff(
+            lc_lo, lc_hi, cpus / lo_cpus
         )
-    )
+
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

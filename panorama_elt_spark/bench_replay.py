@@ -37,16 +37,34 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master override, e.g. local-cluster[4,8,6144] for "
+        "separate executor JVMs (real serialized shuffle fabric); "
+        "default local[--cpus]",
+    )
+    ap.add_argument(
+        "--strategy", default="auto", help="merge strategy (auto/fused/bucket_local)"
+    )
     args = ap.parse_args()
 
     from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
     from .lakehouse import Field, LakeTable, TableSchema
     from .session import get_spark
 
+    extra = {}
+    if args.master and args.master.startswith("local-cluster"):
+        # local-cluster workers read their budget from the master string,
+        # but executors still launch with spark.executor.memory (1g
+        # default) — size it from the worker spec minus headroom.
+        worker_mb = int(args.master.rstrip("]").split(",")[-1])
+        extra["spark.executor.memory"] = f"{max(worker_mb - 1024, 1024)}m"
     spark = get_spark(
         app_name=f"cdc-bench-{args.cpus}",
-        master=f"local[{args.cpus}]",
+        master=args.master or f"local[{args.cpus}]",
         shuffle_partitions=max(args.cpus * 2, 16),
+        extra_conf=extra,
     )
     schema = TableSchema(
         [
@@ -75,7 +93,7 @@ def main() -> None:
             table = LakeTable.create(
                 spark, f"{root}/{tag}", schema, ["repo", "path"], n_buckets=args.n_buckets
             )
-            engine = CdcEngine(table)
+            engine = CdcEngine(table, strategy=args.strategy)
             t0 = time.monotonic()
             engine.replay(log, batch_size=args.events // args.batches, max_lsn=max_lsn)
             wall = time.monotonic() - t0

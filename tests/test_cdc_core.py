@@ -318,6 +318,19 @@ def test_auto_strategy_is_fused_in_local_mode(spark, tmp_path):
     assert plan_rows == _rows(expected_final_state(spark, SPEC))
 
 
+def test_winner_prefilter_matches_unfiltered_merge(spark, tmp_path, monkeypatch):
+    """The late-materialization prefilter (on by default at SPEC's 13x
+    dup ratio, so every other test exercises it) must produce the exact
+    state of the unfiltered fused merge."""
+    log = generate_change_log(spark, SPEC)
+    t1 = _make_table(spark, tmp_path / "with_pf")
+    merge_batch(t1, log, "b0")
+    monkeypatch.setenv("PANORAMA_PREFILTER_MAX_KEYS", "0")  # disable
+    t2 = _make_table(spark, tmp_path / "no_pf")
+    merge_batch(t2, log, "b0")
+    assert _rows(t1.read()) == _rows(t2.read())
+
+
 def test_strategy_argument_beats_env_and_invalid_raises(spark, tmp_path, monkeypatch):
     t = _make_table(spark, tmp_path)
     log = generate_change_log(spark, SPEC)
