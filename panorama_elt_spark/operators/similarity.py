@@ -183,30 +183,122 @@ def embedding_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[float]]:
+    """Distributed Lloyd k-means over the embedding column — the real
+    centroid provider for IVF (replacing the deterministic first-N
+    stand-in when index quality matters).
+
+    * init: the k rows with the smallest md5(seed‖id) — a deterministic
+      hash-ordered sample (k-means‖-style seeding without RNG state, so
+      the fit reproduces at any parallelism).
+    * iterate: assign = argmin squared-L2 to the *broadcast* centroid
+      literals (map-only, no shuffle of the corpus); update = per-
+      dimension mean via ``posexplode`` + one partial-aggregated
+      groupBy((cid, dim)) — the only shuffle per iteration carries
+      (cid, dim, partial sums), never vectors.
+    * driver state: k×dim floats per iteration — constants, not data.
+
+    Returns (centroids, inertia-per-iteration). Inertia (mean squared
+    distance) is non-increasing under Lloyd updates; the test asserts it.
+    """
+    base = (
+        corpus.select(F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"))
+        .persist()
+    )
+    seeds = (
+        base.select("vid", "v", F.md5(F.concat(F.lit(str(seed)), F.col("vid").cast("string"))).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r["v"]) for r in seeds]
+    inertias: list[float] = []
+    for _ in range(iters):
+        # nearest centroid by squared L2 against literal matrices
+        d2s = [
+            F.aggregate(
+                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+        pairs = F.array(
+            *[F.struct(d2.alias("d2"), F.lit(i).alias("i")) for i, d2 in enumerate(d2s)]
+        )
+        best = F.array_min(pairs)  # lexicographic: min d2, ties → lowest cid
+        assigned = base.select(
+            "vid", "v", best["i"].cast("int").alias("cid"), best["d2"].alias("d2")
+        )
+        agg = (
+            assigned.select("cid", "d2", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"), F.sum("d2").alias("sd2"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        total_d2, total_n = 0.0, 0
+        for r in agg:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["sx"] / r["n"]
+            counts[r["cid"]] = r["n"]
+            if r["dim"] == 0:
+                total_d2 += r["sd2"]
+                total_n += r["n"]
+        inertias.append(total_d2 / max(total_n, 1))
+        new_cents = []
+        for ci in range(len(cents)):
+            dims = by_cid.get(ci)
+            if not dims:  # empty cluster keeps its centroid
+                new_cents.append(cents[ci])
+            else:
+                new_cents.append([dims[d] for d in range(len(cents[ci]))])
+        cents = new_cents
+    base.unpersist()
+    return cents, inertias
+
+
 def ivf_cells(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid by cosine (argmax, ties → lowest centroid id).
 
-    Centroids here are the first ``n_centroids`` corpus vectors by id —
-    a deterministic, engine-portable stand-in for a k-means pass (at
-    scale: run k-means|| on a sample, broadcast the centroid matrix; the
-    assignment below is unchanged). The centroid side is broadcast, so
-    assignment is a map-only stage — no shuffle over the corpus.
+    Default centroids are the first ``n_centroids`` corpus vectors by
+    id — a deterministic, engine-portable stand-in (this keeps the
+    DuckDB oracle exact). Pass ``centroids`` (e.g. from
+    ``kmeans_centroids``) for a quality-fitted index; the assignment
+    below is unchanged. The centroid side is broadcast, so assignment
+    is a map-only stage — no shuffle over the corpus.
     Returns (vid, v, cid)."""
     c = (
         corpus.select(F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"))
         .withColumn("nrm", norm(F.col("v")))
         .persist()
     )
-    cents = c.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in cv]) for i, cv in enumerate(centroids)],
+            "cid int, cv array<double>",
+        ).select("cid", "cv", norm(F.col("cv")).alias("cn"))
+    else:
+        cents = c.filter(F.col("vid") < n_centroids).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
     scored = c.join(F.broadcast(cents)).select(
         "vid",
         "v",
@@ -232,16 +324,19 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 10,
     n_centroids: int = 8,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: quantize corpus + queries to
     centroid cells, then exact cosine rerank *within the query's cell*
     (nprobe=1). Same output shape as ``cosine_topk``. At scale the
     cell join shuffles on cid — each task scans one inverted list, so
-    work per query is |cell| not |corpus|."""
+    work per query is |cell| not |corpus|. Pass ``centroids`` from
+    ``kmeans_centroids`` for a fitted index."""
     # materialize the inverted index once — both the query branch and the
     # corpus branch read it (at warehouse scale this is a persisted table)
     cells = ivf_cells(
-        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        centroids=centroids,
     ).persist()
     q = cells.join(
         queries.select(F.col(id_col).alias("vid")), on="vid", how="left_semi"

@@ -741,6 +741,20 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= {_ANN_K}
 """
 
+def s4_ann_cosine_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k with *fitted* centroids: distributed Lloyd k-means
+    (hash-seeded, broadcast-centroid assignment, posexplode mean update)
+    replaces s3's deterministic first-N stand-in. Iterative algorithm →
+    no SQL oracle by design (driver records the rows-only check);
+    determinism + inertia convergence + parity of the assignment path
+    are pytest-verified (tests/test_operators.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    cents, _ = similarity.kmeans_centroids(emb, k=_IVF_K, iters=2)
+    return similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K, centroids=cents
+    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # T1 — text profile: language-ID, token counts, quality, fingerprint
 # ---------------------------------------------------------------------------
@@ -1067,6 +1081,7 @@ def queries() -> dict[str, QueryFn]:
         "s1_ann_cosine_topk": s1_ann_cosine_topk,
         "s2_ann_cosine_lsh": s2_ann_cosine_lsh,
         "s3_ann_cosine_ivf": s3_ann_cosine_ivf,
+        "s4_ann_cosine_ivf_kmeans": s4_ann_cosine_ivf_kmeans,
         "t1_text_profile": t1_text_profile,
         "m1_multimodal_features": m1_multimodal_features,
         "cdc_replay_state": cdc_replay_state,

@@ -95,6 +95,58 @@ def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
     assert all(a < 100 and b < 100 for a, b in unc - cap)  # ...and only they were dropped
 
 
+def test_kmeans_centroids_deterministic_and_converging(spark, sf_dir):
+    from panorama_elt_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1, inertia1 = similarity.kmeans_centroids(emb, k=4, iters=3)
+    c2, inertia2 = similarity.kmeans_centroids(emb, k=4, iters=3)
+    assert c1 == c2 and inertia1 == inertia2  # pure function of (data, seed)
+    assert len(c1) == 4 and all(len(c) == 64 for c in c1)
+    # Lloyd updates never increase inertia
+    assert all(b <= a + 1e-9 for a, b in zip(inertia1, inertia1[1:]))
+    # fitted centroids beat the first-N stand-in on the same data
+    emb_v = emb.select(F.col("vec_id"), F.col("embedding"))
+    fitted_cells = similarity.ivf_cells(emb_v, centroids=c1)
+    assert fitted_cells.select("cid").distinct().count() <= 4
+    assert fitted_cells.count() == emb.count()
+
+
+def test_ivf_topk_with_fitted_centroids(spark, sf_dir):
+    from panorama_elt_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = similarity.kmeans_centroids(emb, k=4, iters=2)
+    out = similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, centroids=cents
+    )
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_left_join_chain_broadcasts_only_hinted_dims(spark, sf_dir):
+    """j1's scale policy: with auto-broadcast off, exactly the 4 bounded
+    dims compile to BroadcastHashJoin; orders/customer take the shuffle
+    path (AQE may upgrade them at runtime from observed sizes — that is
+    the intended toy-SF behavior, not a plan property)."""
+    from panorama_elt_spark.queries import j1_left_join_chain
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            j1_left_join_chain(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") == 4
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
 def test_register_and_drop_view(spark, tmp_path):
     schema = TableSchema([Field(1, "k", "string", False), Field(2, "v", "string")], 1)
     t = LakeTable.create(spark, str(tmp_path / "T"), schema, ["k"], n_buckets=4)
