@@ -137,7 +137,9 @@ def fill_parent_attrs(
     attrs = blocks_flat.select(
         "course_id", "block_id", "block_type", "display_name"
     ).persist()
-    edges = child_edges(blocks_flat)
+    # referenced once per level — without the barrier the source explode
+    # re-runs max_depth times
+    edges = child_edges(blocks_flat).persist()
     cur = attrs.filter(F.col("block_type") == root_type).select(
         "course_id",
         "block_id",

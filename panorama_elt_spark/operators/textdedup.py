@@ -150,6 +150,9 @@ def band_bucket_rows(
             buckets.withColumn("__n", F.count("*").over(w))
             .filter(F.col("__n") <= max_bucket_size)
             .drop("__n")
+            # both sides of the candidate self-join read this; without
+            # the barrier the cap window (and its exchange) runs twice
+            .persist()
         )
     return buckets
 

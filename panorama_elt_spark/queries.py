@@ -1036,16 +1036,77 @@ def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _cdc_sql() -> str:
-    # independent-engine replay of the persisted log: collapse duplicate
+def _lww_oracle_sql(log_glob: str) -> str:
+    # independent-engine replay of a persisted log: collapse duplicate
     # deliveries (DISTINCT), LWW per (repo, path) by max lsn, drop deletes
     return f"""
 SELECT repo, path, commit, lang, sha256(content) AS content_digest FROM (
   SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
   FROM (SELECT DISTINCT lsn, op, repo, path, commit, lang, content
-        FROM read_parquet('{_cdc_replay_root()}/log/*.parquet'))
+        FROM read_parquet('{log_glob}'))
 ) WHERE rn = 1 AND op <> 'D'
 """
+
+
+def _cdc_sql() -> str:
+    return _lww_oracle_sql(f"{_cdc_replay_root()}/log/*.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC streaming — the Structured Streaming tail (readStream →
+# foreachBatch(merge)) driven through the log-growth contract: half the
+# log arrives, an availableNow drain applies it, the log grows, a second
+# drain applies only the new files. Same LWW oracle over the full log.
+# ---------------------------------------------------------------------------
+
+def _cdc_stream_root() -> str:
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, "panorama_cdc_stream")
+
+
+def cdc_stream_state(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from .cdc import ChangeLogSpec, generate_change_log
+    from .lakehouse import Field, LakeTable, TableSchema
+    from .streaming import stream_changelog_to_table
+
+    schema = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
+    log = generate_change_log(spark, spec)
+    root = _cdc_stream_root()
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    table = LakeTable.create(
+        spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
+    )
+    # epoch 1: the first half of the tail exists
+    log.filter(F.col("lsn") < 10_000).write.parquet(log_dir)
+    stream_changelog_to_table(spark, log_dir, table, ckpt).awaitTermination()
+    # the log grows; a later drain picks up only the new files
+    log.filter(F.col("lsn") >= 10_000).write.mode("append").parquet(log_dir)
+    stream_changelog_to_table(spark, log_dir, table, ckpt).awaitTermination()
+    return table.read().select(
+        "repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_digest")
+    )
+
+
+def _cdc_stream_sql() -> str:
+    return _lww_oracle_sql(f"{_cdc_stream_root()}/log/*.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -1085,6 +1146,7 @@ def queries() -> dict[str, QueryFn]:
         "t1_text_profile": t1_text_profile,
         "m1_multimodal_features": m1_multimodal_features,
         "cdc_replay_state": cdc_replay_state,
+        "cdc_stream_state": cdc_stream_state,
     }
 
 
@@ -1122,4 +1184,5 @@ def oracle_sql() -> dict[str, str]:
         # the replay query persists its generated log to a fixed parquet
         # path; the oracle re-derives the final state from that log
         "cdc_replay_state": _cdc_sql(),
+        "cdc_stream_state": _cdc_stream_sql(),
     }
