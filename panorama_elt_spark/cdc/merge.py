@@ -53,6 +53,24 @@ executors it also removes the all-to-all resident exchange entirely.
 Falls back to the fused-aggregate strategy when affected buckets hold
 files written under older schema versions (the JVM path maps them by
 field id on read).
+
+Third strategy — **merge-on-read** (``strategy="append_delta"``): the
+deduped batch is appended as *delta* files (schema + ``__op``/``__lsn``)
+through the same pinned bucket exchange; the resident table is neither
+read nor rewritten, so a batch costs O(batch) regardless of how many
+buckets it touches — the write-optimized mode for high-frequency small
+batches. Readers fold deltas with one LWW aggregate
+(``LakeTable.read``); ``LakeTable.compact()`` folds them into base
+files. Copy-on-write (fused/bucket_local) stays the read-optimized
+default.
+
+Ordering note: under the engine's contract (aligned, monotonically
+increasing LSN batches — what ``CdcEngine.replay`` and the streaming
+tail deliver) all three strategies produce identical states. If batches
+were applied with *overlapping* LSN ranges, CoW resolves cross-batch
+ties by arrival order (resident rows are tagged ``lsn = -1``), while
+merge-on-read keeps real LSNs in the delta files and resolves by true
+global LSN order at read time.
 """
 
 from __future__ import annotations
@@ -93,7 +111,7 @@ class MergeStats:
     strategy: str = ""  # resolved physical strategy ("fused"/"bucket_local")
 
 
-_STRATEGIES = {"auto", "fused", "bucket_local"}
+_STRATEGIES = {"auto", "fused", "bucket_local", "append_delta"}
 
 
 def _resolve_requested_strategy(arg: str) -> str:
@@ -255,7 +273,8 @@ def merge_batch(
     affected_files = [f for f in snap.files if f.bucket in affected]
     if strategy == "auto":
         uniform_schema = all(
-            f.schema_version == snap.schema.schema_version for f in affected_files
+            f.schema_version == snap.schema.schema_version and f.kind == "base"
+            for f in affected_files
         )
         resident_rows = sum(f.rows for f in affected_files)
         rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
@@ -277,15 +296,61 @@ def merge_batch(
             else "fused"
         )
     elif strategy == "bucket_local" and any(
-        f.schema_version != snap.schema.schema_version for f in affected_files
+        f.schema_version != snap.schema.schema_version or f.kind != "base"
+        for f in affected_files
     ):
-        strategy = "fused"  # correctness guard: old-version files need JVM mapping
+        # correctness guard: old-version files need JVM field-id mapping,
+        # and delta files need the read path's LWW fold
+        strategy = "fused"
+
+    # Late materialization (all strategies): when the batch has
+    # significant key duplication (CDC update chains — the common case),
+    # resolve the LWW winner on a *slim* (keys, lsn) aggregate first,
+    # broadcast the winner set, and let only winning rows' wide payloads
+    # into the downstream exchange. Shuffle bytes shrink by the dup
+    # ratio (~8x measured at the bench's Zipf spec); the slim pre-agg
+    # shuffles ~1% of the bytes. Skipped when the winner set is too big
+    # to broadcast or there is nothing to collapse.
+    rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
+    est_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
+    prefilter_max = int(os.environ.get("PANORAMA_PREFILTER_MAX_KEYS", "4000000"))
+    if 0 < est_keys <= prefilter_max and rows_in_total >= 2 * est_keys:
+        winners = events.groupBy(*keys).agg(F.max(lsn_col).alias("__maxlsn"))
+        events = (
+            events.join(F.broadcast(winners), on=list(keys))
+            .filter(F.col(lsn_col) == F.col("__maxlsn"))
+            .drop("__maxlsn")
+        )
+        timer.lap("winner_prefilter_plan")
 
     winner = F.max_by(
         F.struct(*[F.col(c) for c in payload_cols], F.col(op_col)), F.col(lsn_col)
     ).alias("__w")
     new_version = snap.version + 1
-    if strategy == "bucket_local":
+    replaced_buckets = affected
+    if strategy == "append_delta":
+        # Merge-on-read write path: dedupe the batch (same pinned
+        # exchange = bucket layout) and append the winners as *delta*
+        # files carrying (__op, __lsn) — the resident table is neither
+        # read nor rewritten, so per-batch cost is O(batch), not
+        # O(touched buckets). Readers fold deltas (LakeTable.read);
+        # LakeTable.compact() folds them into base files.
+        with _pinned_shuffle(table.spark, snap.n_buckets):
+            deduped = (
+                events.groupBy(*keys)
+                .agg(winner, F.max(lsn_col).alias("__lsn"))
+                .select(
+                    *keys,
+                    *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+                    F.col(f"__w.{op_col}").alias("__op"),
+                    F.col("__lsn"),
+                )
+            )
+            new_files = table.write_bucket_files(
+                deduped, new_version, pre_partitioned=True, kind="delta"
+            )
+        replaced_buckets = set()  # pure append: nothing replaced
+    elif strategy == "bucket_local":
         from pyspark.sql.pandas.types import to_arrow_schema
 
         bucket_paths: dict[int, list[str]] = {}
@@ -319,25 +384,6 @@ def merge_batch(
                 merged, new_version, pre_partitioned=True
             )
     else:
-        # Late materialization: when the batch has significant key
-        # duplication (CDC update chains — the common case), resolve the
-        # LWW winner on a *slim* (keys, lsn) aggregate first, broadcast
-        # the winner set, and let only winning rows' payloads enter the
-        # wide shuffle. The payload exchange shrinks by the dup ratio
-        # (measured 8x at the bench's Zipf spec); the slim pre-agg
-        # shuffles ~1% of the bytes. Skipped when the winner set is too
-        # big to broadcast or there is nothing to collapse.
-        rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
-        est_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
-        prefilter_max = int(os.environ.get("PANORAMA_PREFILTER_MAX_KEYS", "4000000"))
-        if 0 < est_keys <= prefilter_max and rows_in_total >= 2 * est_keys:
-            winners = events.groupBy(*keys).agg(F.max(lsn_col).alias("__maxlsn"))
-            events = (
-                events.join(F.broadcast(winners), on=list(keys))
-                .filter(F.col(lsn_col) == F.col("__maxlsn"))
-                .drop("__maxlsn")
-            )
-            timer.lap("winner_prefilter_plan")
         # existing rows of the affected buckets, tagged to lose every tie:
         # any batch event (lsn ≥ 0) beats the resident row (lsn = -1).
         resident = table.read(buckets=affected).select(
@@ -376,7 +422,7 @@ def merge_batch(
     batch_max_lsn = max(int(per_bucket[b]["lsn_hi"]) for b in affected)
     new_snap = table.commit_replace_buckets(
         snap,
-        affected,
+        replaced_buckets,
         new_files,
         last_lsn=max(snap.last_lsn, batch_max_lsn),
         batch_id=batch_id,

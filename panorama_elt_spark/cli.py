@@ -8,6 +8,7 @@ engine (reference commands: ``panorama_elt.py:49-493``).
     python -m panorama_elt_spark.cli set-tables-fields --parquet F --out s.yaml
     python -m panorama_elt_spark.cli test-connections --root T [--log DIR]
     python -m panorama_elt_spark.cli vacuum           --root T
+    python -m panorama_elt_spark.cli compact          --root T
     python -m panorama_elt_spark.cli drop-table       --root T
     python -m panorama_elt_spark.cli list-tables      --base-dir DIR
 
@@ -73,7 +74,7 @@ def cmd_replay(args) -> int:
             schema, _, _ = load_schema_yaml(p)
             registry[schema.schema_version] = schema
     log = spark.read.parquet(args.log)
-    engine = CdcEngine(table, schema_registry=registry)
+    engine = CdcEngine(table, schema_registry=registry, strategy=args.strategy)
     report = engine.replay(log, batch_size=args.batch_size)
     applied = [b for b in report.batches if not b.skipped]
     print(json.dumps({
@@ -176,6 +177,15 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Fold merge-on-read delta files into base files."""
+    spark = get_spark("panorama-compact")
+    table = LakeTable.load(spark, args.root)
+    n = table.compact()
+    print(f"compacted {n} buckets (snapshot v{table.snapshot.version})")
+    return 0
+
+
 def cmd_drop_table(args) -> int:
     """K6 (ref ``panorama_elt.py:252-280`` drop-datalake-tables)."""
     spark = get_spark("panorama-drop")
@@ -209,6 +219,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-size", type=int, default=100_000)
     p.add_argument("--schema-registry", nargs="*", default=None,
                    help="schema YAMLs, one per schema_version")
+    p.add_argument("--strategy", default="auto",
+                   help="merge strategy: auto | fused | bucket_local | "
+                        "append_delta (merge-on-read; run compact periodically)")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("stream")
@@ -236,6 +249,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("vacuum")
     p.add_argument("--root", required=True)
     p.set_defaults(fn=cmd_vacuum)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--root", required=True)
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("drop-table")
     p.add_argument("--root", required=True)

@@ -43,6 +43,9 @@ class DataFile:
     bucket: int
     rows: int
     schema_version: int
+    # "base" = compacted row state; "delta" = merge-on-read change file
+    # (schema columns + __op/__lsn, folded into reads until compaction)
+    kind: str = "base"
 
     def to_dict(self) -> dict:
         return {
@@ -50,11 +53,14 @@ class DataFile:
             "bucket": self.bucket,
             "rows": self.rows,
             "schema_version": self.schema_version,
+            "kind": self.kind,
         }
 
     @staticmethod
     def from_dict(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["bucket"], d["rows"], d["schema_version"])
+        return DataFile(
+            d["path"], d["bucket"], d["rows"], d["schema_version"], d.get("kind", "base")
+        )
 
 
 @dataclass

@@ -120,16 +120,57 @@ class LakeTable:
 
     # ----------------------------------------------------------------- read
 
-    def read(self, buckets: set[int] | None = None, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: set[int] | None = None,
+        version: int | None = None,
+        with_deltas: bool = True,
+    ) -> DataFrame:
         """Current (or time-travel) state; ``buckets`` prunes the scan to
-        the named buckets only — the merge path's file pruning."""
+        the named buckets only — the merge path's file pruning.
+
+        Merge-on-read: if the snapshot holds delta files (written by the
+        ``append_delta`` strategy), they are folded in here — base rows
+        tagged ``__lsn = -1`` union the delta rows, one LWW aggregate
+        resolves the winner per key, delete markers drop. A compacted
+        table (no deltas) reads with zero shuffle, exactly as before."""
         snap = self.snapshot if version is None else self.log.read_version(version)
         files = snap.files if buckets is None else snap.files_in_buckets(buckets)
         target_struct = snap.schema.to_struct()
+        base = self._read_mapped(snap, [f for f in files if f.kind == "base"])
+        delta_files = [f for f in files if f.kind == "delta"]
+        if not delta_files or not with_deltas:
+            return base
+        deltas = self._read_mapped(snap, delta_files, with_delta_cols=True)
+        tagged = base.withColumn("__op", F.lit("E")).withColumn(
+            "__lsn", F.lit(-1).cast("long")
+        )
+        keys = snap.key_cols
+        payload = [c for c in snap.schema.names if c not in keys]
+        winner = F.max_by(
+            F.struct(*[F.col(c) for c in payload], F.col("__op")), F.col("__lsn")
+        ).alias("__w")
+        return (
+            tagged.unionByName(deltas)
+            .groupBy(*keys)
+            .agg(winner)
+            .filter(F.col("__w.__op") != "D")
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
+        )
+
+    def _read_mapped(self, snap, files, *, with_delta_cols: bool = False) -> DataFrame:
+        """Read a file set, mapping every schema version onto the current
+        schema by field id; delta files carry __op/__lsn through."""
+        from pyspark.sql import types as T
+
+        target_struct = snap.schema.to_struct()
+        extra = [
+            T.StructField("__op", T.StringType()),
+            T.StructField("__lsn", T.LongType()),
+        ]
         if not files:
-            return self.spark.createDataFrame([], target_struct)
-        # group files by the schema version they were written under and map
-        # each group onto the current schema by field id.
+            out_struct = T.StructType(list(target_struct.fields) + extra) if with_delta_cols else target_struct
+            return self.spark.createDataFrame([], out_struct)
         by_version: dict[int, list[str]] = {}
         for f in files:
             by_version.setdefault(f.schema_version, []).append(
@@ -138,7 +179,12 @@ class LakeTable:
         parts: list[DataFrame] = []
         for sv, paths in sorted(by_version.items()):
             old = snap.schema_history[sv]
-            df = self.spark.read.schema(old.to_struct()).parquet(*paths)
+            read_struct = (
+                T.StructType(list(old.to_struct().fields) + extra)
+                if with_delta_cols
+                else old.to_struct()
+            )
+            df = self.spark.read.schema(read_struct).parquet(*paths)
             cols = []
             for fld in snap.schema.fields:
                 old_fld = old.field_by_id(fld.id)
@@ -151,6 +197,8 @@ class LakeTable:
                     if old_fld.type != fld.type:
                         col = col.cast(spark_type(fld.type))
                     cols.append(col.alias(fld.name))
+            if with_delta_cols:
+                cols += [F.col("__op"), F.col("__lsn")]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -160,7 +208,12 @@ class LakeTable:
     # ---------------------------------------------------------------- write
 
     def write_bucket_files(
-        self, df: DataFrame, new_version: int, *, pre_partitioned: bool = False
+        self,
+        df: DataFrame,
+        new_version: int,
+        *,
+        pre_partitioned: bool = False,
+        kind: str = "base",
     ) -> list[DataFile]:
         """Write ``df`` (current-schema columns) into ``data/s{version}/``
         hash-partitioned by bucket; returns the DataFile manifest entries.
@@ -172,7 +225,7 @@ class LakeTable:
         Otherwise one exchange on the bucket hash is inserted here.
         """
         snap = self.snapshot
-        rel_dir = f"data/s{new_version}"
+        rel_dir = f"data/s{new_version}" if kind == "base" else f"data/d{new_version}"
         out_dir = os.path.join(self.root, rel_dir)
         out = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
         if not pre_partitioned:
@@ -195,6 +248,7 @@ class LakeTable:
                         bucket=bucket,
                         rows=rows,
                         schema_version=schema_version,
+                        kind=kind,
                     )
                 )
         return files
@@ -273,6 +327,24 @@ class LakeTable:
         return new_snap
 
     # ------------------------------------------------------------ maintenance
+
+    def compact(self, buckets: set[int] | None = None) -> int:
+        """Fold merge-on-read delta files into base files (the Hudi/
+        Iceberg compaction analogue). Only buckets that actually hold
+        deltas are rewritten; returns how many were. Readers never
+        block: compaction is one ordinary snapshot commit, and the
+        pre-compaction read and post-compaction read are the same rows
+        by construction (the read path's fold IS the compaction plan)."""
+        snap = self.snapshot
+        delta_buckets = {f.bucket for f in snap.files if f.kind == "delta"}
+        if buckets is not None:
+            delta_buckets &= buckets
+        if not delta_buckets:
+            return 0
+        merged = self.read(buckets=delta_buckets)
+        new_files = self.write_bucket_files(merged, snap.version + 1)
+        self.commit_replace_buckets(snap, delta_buckets, new_files)
+        return len(delta_buckets)
 
     def drop(self) -> None:
         """K6: drop the table — data, snapshot log, everything under the

@@ -318,6 +318,43 @@ def test_auto_strategy_is_fused_in_local_mode(spark, tmp_path):
     assert plan_rows == _rows(expected_final_state(spark, SPEC))
 
 
+def test_merge_on_read_append_delta(spark, tmp_path):
+    """append_delta writes delta files only (no bucket rewrite); reads
+    fold them to exactly the LWW state; compact() folds them into base
+    files without changing the visible rows."""
+    log = generate_change_log(spark, SPEC)
+    t = _make_table(spark, tmp_path)
+    b0 = log.filter(F.col("lsn") < 2000)
+    b1 = log.filter(F.col("lsn") >= 2000)
+    s0 = merge_batch(t, b0, "b0", strategy="append_delta")
+    s1 = merge_batch(t, b1, "b1", strategy="append_delta")
+    assert s0.strategy == s1.strategy == "append_delta"
+    kinds = {f.kind for f in t.snapshot.files}
+    assert kinds == {"delta"}  # nothing was rewritten, base never existed
+    expected = _rows(expected_final_state(spark, SPEC))
+    assert _rows(t.read()) == expected
+    # compaction: same rows, no deltas left, zero-shuffle reads again
+    n = t.compact()
+    assert n > 0
+    assert {f.kind for f in t.snapshot.files} == {"base"}
+    assert _rows(t.read()) == expected
+    assert t.compact() == 0  # idempotent: nothing left to fold
+    # orphaned pre-compaction files are vacuumable; state intact
+    t.vacuum()
+    assert _rows(t.read()) == expected
+
+
+def test_merge_on_read_interops_with_cow(spark, tmp_path):
+    """A CoW (fused) merge over a table holding deltas folds them into
+    its resident read and replaces them — mixed-mode tables converge."""
+    log = generate_change_log(spark, SPEC)
+    t = _make_table(spark, tmp_path)
+    merge_batch(t, log.filter(F.col("lsn") < 2000), "b0", strategy="append_delta")
+    assert {f.kind for f in t.snapshot.files} == {"delta"}
+    merge_batch(t, log.filter(F.col("lsn") >= 2000), "b1", strategy="fused")
+    assert _rows(t.read()) == _rows(expected_final_state(spark, SPEC))
+
+
 def test_winner_prefilter_matches_unfiltered_merge(spark, tmp_path, monkeypatch):
     """The late-materialization prefilter (on by default at SPEC's 13x
     dup ratio, so every other test exercises it) must produce the exact

@@ -109,6 +109,20 @@ def test_cli_end_to_end(tmp_path, spark):
     assert r.returncode == 0 and "orphan" in r.stdout
     r = _run_cli(["table-info", "--root", "T"], cwd)
     assert json.loads(r.stdout)["rows"] > 0
+    # merge-on-read: replay into a fresh table as delta appends, compact
+    r = _run_cli(["create-table", "--root", "T2", "--schema", "schema.yaml"], cwd)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = _run_cli(["replay", "--root", "T2", "--log", "log", "--batch-size", "250",
+                  "--strategy", "append_delta"], cwd)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = _run_cli(["compact", "--root", "T2"], cwd)
+    assert r.returncode == 0 and "compacted" in r.stdout
+    r = _run_cli(["table-info", "--root", "T2"], cwd)
+    rows_mor = json.loads(r.stdout)["rows"]
+    r = _run_cli(["table-info", "--root", "T"], cwd)
+    assert rows_mor == json.loads(r.stdout)["rows"]  # same state as CoW replay
+    r = _run_cli(["drop-table", "--root", "T2"], cwd)
+    assert r.returncode == 0
     # S3: list-tables discovers the table root (and only table roots)
     r = _run_cli(["list-tables", "--base-dir", "."], cwd)
     assert r.returncode == 0 and r.stdout.strip().splitlines() == ["./T"]
