@@ -81,14 +81,22 @@ class CdcEngine:
         schema_registry: dict[int, TableSchema] | None = None,
         pre_dedupe=None,
         strategy: str = "auto",
+        compact_every: int | None = None,
     ):
         self.table = table
         self.registry = schema_registry or {}
         # None → the merge's fused dedup+merge aggregate (the fast path);
         # a dedupe fn (e.g. lww_dedupe_salted) forces a standalone pass.
         self.pre_dedupe = pre_dedupe
-        # "auto" | "fused" | "bucket_local" — see merge.py module doc
+        # "auto" | "fused" | "bucket_local" | "append_delta" — merge.py doc
         self.strategy = strategy
+        # merge-on-read housekeeping: fold deltas into base files after
+        # every N applied batches (None = compact manually). Read cost is
+        # one LWW fold per uncompacted delta train, so N bounds read
+        # amplification; the compaction itself is an ordinary snapshot
+        # commit (readers never block).
+        self.compact_every = compact_every
+        self._applied_since_compact = 0
 
     def _evolve_to(self, version: int) -> None:
         """Catalog-diff + ALTER up to ``version`` (gated: lands before the
@@ -148,6 +156,13 @@ class CdcEngine:
             report.batches.append(stats)
             if not stats.skipped:
                 report.events_read += min(hi, max_lsn) - max(lo, start_lsn) + 1
+                self._applied_since_compact += 1
+                if (
+                    self.compact_every
+                    and self._applied_since_compact >= self.compact_every
+                ):
+                    self.table.compact()
+                    self._applied_since_compact = 0
             k += 1
         report.wall_secs = time.monotonic() - t0
         return report

@@ -355,6 +355,17 @@ def test_merge_on_read_interops_with_cow(spark, tmp_path):
     assert _rows(t.read()) == _rows(expected_final_state(spark, SPEC))
 
 
+def test_engine_auto_compaction(spark, tmp_path):
+    """compact_every folds MOR deltas during replay, bounding read
+    amplification; the final state is unchanged."""
+    log = generate_change_log(spark, SPEC)
+    t = _make_table(spark, tmp_path)
+    engine = CdcEngine(t, strategy="append_delta", compact_every=2)
+    engine.replay(log, batch_size=1000)  # 4 batches → compactions after b1, b3
+    assert {f.kind for f in t.snapshot.files} == {"base"}  # fully folded
+    assert _rows(t.read()) == _rows(expected_final_state(spark, SPEC))
+
+
 def test_winner_prefilter_matches_unfiltered_merge(spark, tmp_path, monkeypatch):
     """The late-materialization prefilter (on by default at SPEC's 13x
     dup ratio, so every other test exercises it) must produce the exact
