@@ -326,6 +326,38 @@ class LakeTable:
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed between two snapshots (the engine as a CDC
+        *source*, the Iceberg changelog-scan analogue): one full-outer
+        join on the key columns of the two states, payloads compared as
+        structs. Returns key columns + ``change_op`` (I/U/D) + the new
+        payload (nulls for D); unchanged rows are dropped.
+
+        Scale: both sides are bucket-aligned states of the same table,
+        so the join shuffles each state once on its keys; at 100 TB
+        restrict to the buckets named by the intervening commits'
+        lineage rows before diffing."""
+        snap = self.snapshot
+        keys = snap.key_cols
+        payload = [c for c in snap.schema.names if c not in keys]
+        old = self.read(version=from_version).select(
+            *keys, F.struct(*payload).alias("__old")
+        )
+        new = self.read(version=to_version).select(
+            *keys, F.struct(*payload).alias("__new")
+        )
+        j = old.join(new, on=list(keys), how="full_outer")
+        op = (
+            F.when(F.col("__old").isNull(), F.lit("I"))
+            .when(F.col("__new").isNull(), F.lit("D"))
+            .when(F.col("__old") != F.col("__new"), F.lit("U"))
+        )
+        return (
+            j.withColumn("change_op", op)
+            .filter(F.col("change_op").isNotNull())
+            .select(*keys, "change_op", *[F.col(f"__new.{c}").alias(c) for c in payload])
+        )
+
     # ------------------------------------------------------------ maintenance
 
     def compact(self, buckets: set[int] | None = None) -> int:

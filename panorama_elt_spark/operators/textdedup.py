@@ -12,7 +12,9 @@ Scale notes (100 TB):
   generation explodes to (band, bucket) and self-joins *within buckets
   only*, so the join input is |docs|×n_bands rows and the quadratic blow
   up is confined to collision buckets. Hot buckets (boilerplate docs) are
-  the skew risk — cap bucket width or salt in a second stage.
+  the skew risk — ``band_bucket_rows``'s ``max_bucket_size`` drops the
+  degenerate ones deterministically (tested with a planted boilerplate
+  cluster in tests/test_operators.py).
 * verification — exact n-gram Jaccard runs only on LSH candidate pairs.
 """
 

@@ -1110,6 +1110,87 @@ def _cdc_stream_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# CDC change feed — the engine as a CDC *source*: the row-level diff
+# between two snapshots (LakeTable.changes, the Iceberg changelog-scan
+# analogue). Oracle: two independent LWW replays (first batch / full
+# log) full-outer-joined in DuckDB.
+# ---------------------------------------------------------------------------
+
+def _cdc_changes_root() -> str:
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, "panorama_cdc_changes")
+
+
+def cdc_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
+    log = generate_change_log(spark, spec)
+    root = _cdc_changes_root()
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    table = LakeTable.create(
+        spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
+    )
+    engine = CdcEngine(table)
+    engine.replay(log, batch_size=10_000, max_lsn=9_999)
+    v_first = table.snapshot.version
+    engine.replay(log, batch_size=10_000)
+    return table.changes(v_first).select(
+        "repo",
+        "path",
+        "change_op",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("content_digest"),
+    )
+
+
+def _cdc_changes_sql() -> str:
+    state = """
+  SELECT repo, path, commit, lang, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM ev {where}
+  ) WHERE rn = 1 AND op <> 'D'
+"""
+    return f"""
+WITH ev AS (SELECT DISTINCT lsn, op, repo, path, commit, lang, content
+            FROM read_parquet('{_cdc_changes_root()}/log/*.parquet')),
+sa AS ({state.format(where="WHERE lsn < 10000")}),
+sb AS ({state.format(where="")}),
+j AS (
+  SELECT coalesce(sa.repo, sb.repo) AS repo, coalesce(sa.path, sb.path) AS path,
+         CASE WHEN sa.repo IS NULL THEN 'I'
+              WHEN sb.repo IS NULL THEN 'D'
+              WHEN sa.commit IS DISTINCT FROM sb.commit
+                OR sa.lang IS DISTINCT FROM sb.lang
+                OR sa.content IS DISTINCT FROM sb.content THEN 'U' END AS change_op,
+         sb.commit AS commit, sb.lang AS lang, sb.content AS content
+  FROM sa FULL JOIN sb ON sa.repo = sb.repo AND sa.path = sb.path
+)
+SELECT repo, path, change_op, commit, lang, sha256(content) AS content_digest
+FROM j WHERE change_op IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1147,6 +1228,7 @@ def queries() -> dict[str, QueryFn]:
         "m1_multimodal_features": m1_multimodal_features,
         "cdc_replay_state": cdc_replay_state,
         "cdc_stream_state": cdc_stream_state,
+        "cdc_changes_feed": cdc_changes_feed,
     }
 
 
@@ -1185,4 +1267,5 @@ def oracle_sql() -> dict[str, str]:
         # path; the oracle re-derives the final state from that log
         "cdc_replay_state": _cdc_sql(),
         "cdc_stream_state": _cdc_stream_sql(),
+        "cdc_changes_feed": _cdc_changes_sql(),
     }

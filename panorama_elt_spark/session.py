@@ -4,6 +4,17 @@ Defaults are chosen for the 100 TB design point and verified locally:
 AQE on (runtime coalesce + skew-join splitting), adaptive broadcast,
 Arrow for any pandas exchange. ``shuffle_partitions`` should be sized
 ~2-3x total cores locally; on a real cluster AQE coalesces the excess.
+
+Cluster sizing knobs (pass via ``extra_conf`` on a real deployment):
+* ``spark.sql.shuffle.partitions`` ≈ 2-3× total executor cores; the
+  merge pins its own exchange to ``n_buckets`` regardless.
+* ``spark.sql.files.maxPartitionBytes`` (default 128m): raise to 256m+
+  for the change-log scan so a 10^9-event batch doesn't fan into
+  hundreds of thousands of tasks.
+* table ``n_buckets``: size so one bucket's rewrite fits an executor
+  comfortably (~16k buckets ⇒ ~6 GB/bucket at 100 TB).
+* ``PANORAMA_PREFILTER_MAX_KEYS``: winner-broadcast budget (rows); keep
+  ≤ a few × 10^6 per 8 GB of driver memory.
 """
 
 from __future__ import annotations

@@ -355,6 +355,41 @@ def test_merge_on_read_interops_with_cow(spark, tmp_path):
     assert _rows(t.read()) == _rows(expected_final_state(spark, SPEC))
 
 
+def test_changes_feed_classifies_ops(spark, tmp_path):
+    """LakeTable.changes between two snapshots yields exactly the
+    inserted / updated / deleted keys with the right change_op."""
+    t = _make_table(spark, tmp_path)
+    cols = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+    b0 = spark.createDataFrame(
+        [
+            (0, "I", "r", "keep", "c0", "py", "same"),
+            (1, "I", "r", "upd", "c1", "py", "old"),
+            (2, "I", "r", "del", "c2", "py", "bye"),
+        ],
+        cols,
+    )
+    merge_batch(t, b0, "b0")
+    v0 = t.snapshot.version
+    b1 = spark.createDataFrame(
+        [
+            (3, "U", "r", "upd", "c3", "py", "new"),
+            (4, "D", "r", "del", None, None, None),
+            (5, "I", "r", "ins", "c5", "py", "hello"),
+        ],
+        cols,
+    )
+    merge_batch(t, b1, "b1")
+    got = {
+        (r["path"], r["change_op"], r["content"])
+        for r in t.changes(v0).collect()
+    }
+    assert got == {
+        ("upd", "U", "new"),
+        ("del", "D", None),
+        ("ins", "I", "hello"),
+    }
+
+
 def test_engine_auto_compaction(spark, tmp_path):
     """compact_every folds MOR deltas during replay, bounding read
     amplification; the final state is unchanged."""
