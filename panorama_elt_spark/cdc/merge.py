@@ -108,7 +108,7 @@ class MergeStats:
     rows_deleted: int = 0
     buckets_touched: int = 0
     snapshot_version: int = -1
-    strategy: str = ""  # resolved physical strategy ("fused"/"bucket_local")
+    strategy: str = ""  # resolved strategy (fused/bucket_local/append_delta)
 
 
 _STRATEGIES = {"auto", "fused", "bucket_local", "append_delta"}

@@ -126,11 +126,12 @@ def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
 def fill_parents(
     levels: list[tuple[DataFrame, str, str | None]],
 ) -> DataFrame:
-    """J4: the bounded parent-child tree fill
-    (``course_structures_datasource.py:389-438`` walks ≤5 fixed levels,
-    copying parent display names into children). Expressed as a union of
-    per-level projections joined to their parent level — a fixed-depth
-    plan, no recursion operator.
+    """J4 (edge-list form): the bounded parent-child tree as a union of
+    per-level (node, parent, level) projections — a fixed-depth plan, no
+    recursion operator. The reference's full semantics — copying parent
+    display names *into child rows* through 5 fixed levels
+    (``course_structures_datasource.py:389-438``) — live in
+    ``operators.nested.fill_parent_attrs`` (iterative self-join).
 
     ``levels``: [(df, node_col, parent_col_or_None)] ordered root→leaf,
     where each non-root df already carries its parent's node column.
