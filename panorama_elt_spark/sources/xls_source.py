@@ -1,22 +1,92 @@
 """XLS/XLSX source (reference: ``xls_datasource.py``) — each sheet is a
 table, first row is the header, all columns string.
 
-Excel parsing needs an engine library (openpyxl/xlrd) that may not be
-installed; the import is gated and surfaces a clear error. Data volume
-is driver-scale by nature (the reference caps at 10^6 rows/sheet,
-``xls_datasource.py:111``), so pandas-on-driver → createDataFrame is
-the appropriate plumbing, not a distributed read.
+Two engines: pandas' excel reader when an engine library (openpyxl/
+xlrd) is installed, else a stdlib XLSX parser (an .xlsx file is a zip
+of spreadsheetml XML — ``zipfile`` + ``ElementTree`` cover the
+reference's contract: sheet enumeration, shared strings, inline
+strings, numeric cells, all values surfaced as strings). Legacy binary
+.xls still needs xlrd and stays gated.
+
+Data volume is driver-scale by nature (the reference caps at 10^6
+rows/sheet, ``xls_datasource.py:111``), so parse-on-driver →
+createDataFrame is the appropriate plumbing, not a distributed read.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 ROW_CAP = 1_000_000  # reference hard cap, xls_datasource.py:111
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 
 
 class XlsUnavailable(RuntimeError):
     pass
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'BC12' → 54 (the column part of an A1-style ref)."""
+    i = 0
+    for ch in cell_ref:
+        if ch.isdigit():
+            break
+        i = i * 26 + (ord(ch.upper()) - 64)
+    return i - 1
+
+
+def _read_xlsx_stdlib(path: str) -> dict[str, list[dict[int, str | None]]]:
+    """{sheet_name: [{col_index: value}]} straight from the zip — no
+    third-party engine."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {r.get("Id"): r.get("Target") for r in rels}
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.findall(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        sheets: dict[str, list[dict[int, str | None]]] = {}
+        sheets_el = wb.find(f"{_NS}sheets")
+        for sh in sheets_el if sheets_el is not None else []:
+            target = rid_to_target[sh.get(f"{_RNS}id")]
+            member = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+            root = ET.fromstring(z.read(member))
+            rows: list[dict[int, str | None]] = []
+            for row in root.iter(f"{_NS}row"):
+                cells: dict[int, str | None] = {}
+                next_ci = 0
+                for c in row.findall(f"{_NS}c"):
+                    ref = c.get("r")
+                    ci = _col_index(ref) if ref else next_ci
+                    next_ci = ci + 1
+                    t = c.get("t")
+                    if t == "s":
+                        v = c.find(f"{_NS}v")
+                        val = shared[int(v.text)] if v is not None else None
+                    elif t == "inlineStr":
+                        is_el = c.find(f"{_NS}is")
+                        val = (
+                            "".join(tt.text or "" for tt in is_el.iter(f"{_NS}t"))
+                            if is_el is not None
+                            else None
+                        )
+                    else:  # numeric / str-formula / boolean — surface raw text
+                        v = c.find(f"{_NS}v")
+                        val = v.text if v is not None else None
+                    cells[ci] = val
+                rows.append(cells)
+                if len(rows) > ROW_CAP:
+                    break
+            sheets[sh.get("name")] = rows
+    return sheets
 
 
 def read_xls_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
@@ -25,12 +95,33 @@ def read_xls_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         import pandas as pd
 
         sheets = pd.read_excel(path, sheet_name=None, dtype=str, nrows=ROW_CAP)
-    except ImportError as exc:
-        raise XlsUnavailable(
-            "reading .xls/.xlsx requires an excel engine (openpyxl/xlrd)"
-        ) from exc
+        out = {}
+        for name, pdf in sheets.items():
+            pdf = pdf.where(pdf.notna(), None)
+            out[name] = spark.createDataFrame(pdf.astype("object"))
+        return out
+    except (ImportError, ValueError) as exc:
+        # ImportError: engine named but absent; ValueError: pandas cannot
+        # even pick an engine ("you must specify an engine manually").
+        # Either way no third-party engine is usable here.
+        engineless = isinstance(exc, ImportError) or "engine" in str(exc)
+        if not engineless:
+            raise
+        if not path.lower().endswith(".xlsx"):
+            raise XlsUnavailable(
+                "legacy .xls needs the xlrd engine; .xlsx works engine-free"
+            ) from None
+    raw = _read_xlsx_stdlib(path)
     out = {}
-    for name, pdf in sheets.items():
-        pdf = pdf.where(pdf.notna(), None)
-        out[name] = spark.createDataFrame(pdf.astype("object"))
+    for name, rows in raw.items():
+        if not rows:
+            continue  # headerless sheet: no table contract to honor
+        header_cells = rows[0]
+        n_cols = max(header_cells) + 1
+        names = [header_cells.get(i) or f"col{i}" for i in range(n_cols)]
+        schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        data = [
+            tuple(r.get(i) for i in range(n_cols)) for r in rows[1 : ROW_CAP + 1]
+        ]
+        out[name] = spark.createDataFrame(data, schema)
     return out

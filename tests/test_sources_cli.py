@@ -52,8 +52,78 @@ def test_xls_gated(spark, tmp_path):
         pytest.skip("excel engine present; gating path not reachable")
     except ImportError:
         pass
-    with pytest.raises((XlsUnavailable, Exception)):
-        read_xls_tables(spark, str(tmp_path / "missing.xlsx"))
+    # legacy binary .xls has no stdlib path and stays gated
+    xls = tmp_path / "legacy.xls"
+    xls.write_bytes(b"\xd0\xcf\x11\xe0 not a real xls")
+    with pytest.raises(XlsUnavailable):
+        read_xls_tables(spark, str(xls))
+
+
+def _write_minimal_xlsx(path: str) -> None:
+    """Hand-roll a two-sheet spreadsheetml zip: shared strings, inline
+    strings, numeric cells, and a skipped (sparse) cell."""
+    import zipfile
+
+    wb = (
+        '<?xml version="1.0"?><workbook '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="users" sheetId="1" r:id="rId1"/>'
+        '<sheet name="empty" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        '<?xml version="1.0"?><sst '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>id</t></si><si><t>name</t></si><si><t>alice</t></si></sst>"
+    )
+    sheet1 = (
+        '<?xml version="1.0"?><worksheet '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c><c r="B2" t="s"><v>2</v></c></row>'
+        '<row r="3"><c r="B3" t="inlineStr"><is><t>bob</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sheet2 = (
+        '<?xml version="1.0"?><worksheet '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData/></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_xlsx_stdlib_positive_path(spark, tmp_path):
+    """S9 positive path: a real .xlsx round-trips through the stdlib
+    parser — sheet map, header row, shared/inline/numeric cells as
+    strings, sparse cells as nulls, headerless sheets skipped."""
+    from panorama_elt_spark.sources.xls_source import _read_xlsx_stdlib, read_xls_tables
+
+    path = str(tmp_path / "t.xlsx")
+    _write_minimal_xlsx(path)
+    raw = _read_xlsx_stdlib(path)  # engine-independent layer
+    assert set(raw) == {"users", "empty"}
+    tables = read_xls_tables(spark, path)
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        assert set(tables) == {"users"}  # stdlib path skips headerless sheets
+    users = tables["users"]
+    assert users.columns == ["id", "name"]
+    assert all(t == "string" for t in dict(users.dtypes).values())
+    rows = {tuple(r) for r in users.collect()}
+    assert rows == {("7", "alice"), (None, "bob")}
 
 
 def _run_cli(args, cwd):
