@@ -173,6 +173,13 @@ def test_cli_end_to_end(tmp_path, spark):
     doc = yaml.safe_load((tmp_path / "introspected.yaml").read_text())
     assert doc["key_cols"] == ["repo", "path"]
     assert {f["name"] for f in doc["fields"]} >= {"repo", "path", "op", "lsn"}
+    # K8 writeback loop closes: the introspected YAML is itself a valid
+    # settings file (same loader create-table uses)
+    from panorama_elt_spark.cli import load_schema_yaml
+
+    schema, key_cols, _ = load_schema_yaml(str(tmp_path / "introspected.yaml"))
+    assert key_cols == ["repo", "path"]
+    assert schema.field_by_name("content") is not None
     # vacuum: re-replay left orphan snapshots' files? at minimum it runs
     # and the table stays readable
     r = _run_cli(["vacuum", "--root", "T"], cwd)
