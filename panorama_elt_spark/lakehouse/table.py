@@ -326,6 +326,26 @@ class LakeTable:
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
 
+    def changed_buckets(self, from_version: int, to_version: int | None = None) -> set[int]:
+        """Buckets whose file set differs between two snapshots. Data
+        files are immutable, so an identical file set ⇒ identical rows —
+        the exact pruning set for a change-feed scan (covers merges,
+        MOR deltas, appends; a compaction rewrites files without
+        changing rows, so it lands in the set but diffs to zero)."""
+        snap_from = self.log.read_version(from_version)
+        snap_to = (
+            self.snapshot if to_version is None else self.log.read_version(to_version)
+        )
+
+        def by_bucket(snap) -> dict[int, tuple[str, ...]]:
+            d: dict[int, list[str]] = {}
+            for f in snap.files:
+                d.setdefault(f.bucket, []).append(f.path)
+            return {b: tuple(sorted(ps)) for b, ps in d.items()}
+
+        a, b = by_bucket(snap_from), by_bucket(snap_to)
+        return {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change feed between two snapshots (the engine as a CDC
         *source*, the Iceberg changelog-scan analogue): one full-outer
@@ -333,17 +353,24 @@ class LakeTable:
         structs. Returns key columns + ``change_op`` (I/U/D) + the new
         payload (nulls for D); unchanged rows are dropped.
 
-        Scale: both sides are bucket-aligned states of the same table,
-        so the join shuffles each state once on its keys; at 100 TB
-        restrict to the buckets named by the intervening commits'
-        lineage rows before diffing."""
-        snap = self.snapshot
+        Scale: the scan is pruned to ``changed_buckets`` — buckets whose
+        file sets are identical cannot differ and are never read — and
+        both sides are bucket-aligned states, so the join shuffles only
+        the touched fraction of the table once per side."""
+        snap = self.snapshot if to_version is None else self.log.read_version(to_version)
+        snap_from = self.log.read_version(from_version)
+        if snap_from.schema.schema_version != snap.schema.schema_version:
+            raise ValueError(
+                "changes() across schema versions is not defined: every row's "
+                "projection changed; diff within one schema epoch"
+            )
         keys = snap.key_cols
         payload = [c for c in snap.schema.names if c not in keys]
-        old = self.read(version=from_version).select(
+        touched = self.changed_buckets(from_version, to_version)
+        old = self.read(version=from_version, buckets=touched).select(
             *keys, F.struct(*payload).alias("__old")
         )
-        new = self.read(version=to_version).select(
+        new = self.read(version=to_version, buckets=touched).select(
             *keys, F.struct(*payload).alias("__new")
         )
         j = old.join(new, on=list(keys), how="full_outer")

@@ -388,6 +388,12 @@ def test_changes_feed_classifies_ops(spark, tmp_path):
         ("del", "D", None),
         ("ins", "I", "hello"),
     }
+    # pruning: only buckets whose file set changed are diffed — at most
+    # the 3 touched keys' buckets, never all 16
+    touched = t.changed_buckets(v0)
+    assert 1 <= len(touched) <= 3
+    assert t.changed_buckets(t.snapshot.version) == set()  # self-diff empty
+    assert t.changes(t.snapshot.version).count() == 0
 
 
 def test_engine_auto_compaction(spark, tmp_path):
