@@ -241,25 +241,37 @@ def merge_batch(
         # compat/bench path: explicit standalone dedupe before the merge
         events = pre_dedupe(events, keys, lsn_col)
 
-    # per-bucket batch stats (tiny agg: ≤ n_buckets rows collected);
-    # doubles as affected-bucket discovery for pruning.
+    # ONE slim aggregate over (keys, op, lsn) serves three consumers:
+    # affected-bucket discovery (pruning), per-bucket lineage stats
+    # (collected: <= n_buckets rows), and -- cached -- the winner set for
+    # the prefilter, so the merge job never re-scans the raw batch for
+    # it. Exact key counts come free (the groupBy is per key anyway).
+    per_key = (
+        events.groupBy(*keys)
+        .agg(
+            F.max(lsn_col).alias("__maxlsn"),
+            F.min(lsn_col).alias("__lsnlo"),
+            F.count("*").alias("__cnt"),
+            F.sum((F.col(op_col) == "D").cast("long")).alias("__dels"),
+        )
+        .persist()
+    )
     per_bucket = {
         r["__b"]: r
-        for r in events.groupBy(bucket_expr(keys, snap.n_buckets).alias("__b"))
+        for r in per_key.groupBy(bucket_expr(keys, snap.n_buckets).alias("__b"))
         .agg(
-            F.count("*").alias("rows_in"),
-            # metrics-only: HLL sketch is one-pass partial-aggregated,
-            # unlike exact count_distinct's two-stage expand
-            F.approx_count_distinct(F.concat_ws("\u0001", *keys)).alias("keys"),
-            F.sum((F.col(op_col) == "D").cast("long")).alias("deletes"),
-            F.min(lsn_col).alias("lsn_lo"),
-            F.max(lsn_col).alias("lsn_hi"),
+            F.sum("__cnt").alias("rows_in"),
+            F.count("*").alias("keys"),
+            F.sum("__dels").alias("deletes"),
+            F.min("__lsnlo").alias("lsn_lo"),
+            F.max("__maxlsn").alias("lsn_hi"),
         )
         .collect()
     }
     timer.lap("stats_agg")
     affected = set(per_bucket)
     if not affected:
+        per_key.unpersist()
         new_snap = table.commit_replace_buckets(
             snap, set(), [], batch_id=batch_id, lineage_rows=[]
         )
@@ -312,10 +324,10 @@ def merge_batch(
     # shuffles ~1% of the bytes. Skipped when the winner set is too big
     # to broadcast or there is nothing to collapse.
     rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
-    est_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
+    n_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
     prefilter_max = int(os.environ.get("PANORAMA_PREFILTER_MAX_KEYS", "4000000"))
-    if 0 < est_keys <= prefilter_max and rows_in_total >= 2 * est_keys:
-        winners = events.groupBy(*keys).agg(F.max(lsn_col).alias("__maxlsn"))
+    if 0 < n_keys <= prefilter_max and rows_in_total >= 2 * n_keys:
+        winners = per_key.select(*keys, "__maxlsn")  # already cached above
         events = (
             events.join(F.broadcast(winners), on=list(keys))
             .filter(F.col(lsn_col) == F.col("__maxlsn"))
@@ -412,7 +424,6 @@ def merge_batch(
             "lsn_lo": int(per_bucket[b]["lsn_lo"]),
             "lsn_hi": int(per_bucket[b]["lsn_hi"]),
             "rows_in": int(per_bucket[b]["rows_in"]),
-            # keys is an HLL estimate → upserted is approximate (metrics)
             "rows_upserted": int(max(per_bucket[b]["keys"] - per_bucket[b]["deletes"], 0)),
             "rows_deleted": int(per_bucket[b]["deletes"]),
             "snapshot_version": new_version,
@@ -429,6 +440,7 @@ def merge_batch(
         lineage_rows=lineage_rows,
     )
     timer.lap("commit")
+    per_key.unpersist()
     return MergeStats(
         batch_id=batch_id,
         skipped=False,
