@@ -23,7 +23,9 @@ Physical plan — ONE shuffle per batch, tuned for 10^10-event scale:
    key is resolved first on a *slim* (keys, lsn) aggregate — ~1% of the
    bytes — and broadcast back as a filter, so only winning rows' wide
    payloads enter the exchange of step 1. Measured: ~8× shuffle-byte
-   reduction and +58% end-to-end throughput at the bench's Zipf spec.
+   reduction; with the fused stats aggregate (one cached per-key pass
+   serving pruning, lineage and the winner set) replay throughput rose
+   398k → 764k ev/s on the round-1 bench config.
    Skipped automatically when the winner set exceeds the broadcast
    budget (``PANORAMA_PREFILTER_MAX_KEYS``) or duplication is < 2×.
 2. **Exchange = bucket layout.** The aggregate's exchange is forced to
