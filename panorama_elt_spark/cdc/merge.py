@@ -27,7 +27,10 @@ Physical plan — ONE shuffle per batch, tuned for 10^10-event scale:
    serving pruning, lineage and the winner set) replay throughput rose
    398k → 764k ev/s on the round-1 bench config.
    Skipped automatically when the winner set exceeds the broadcast
-   budget (``PANORAMA_PREFILTER_MAX_KEYS``) or duplication is < 2×.
+   budget (bytes-based, ``PANORAMA_PREFILTER_MAX_BYTES``, measured key
+   widths; ``PANORAMA_PREFILTER_MAX_KEYS`` as a row guard) or
+   duplication is < 2×. The prefilter join is null-safe (NULL is a
+   valid key value), so every strategy sees the same event set.
 2. **Exchange = bucket layout.** The aggregate's exchange is forced to
    ``n_buckets`` partitions with AQE coalescing off, so shuffle
    partition id == ``pmod(hash(keys), n_buckets)`` == storage bucket id
@@ -248,25 +251,36 @@ def merge_batch(
     # (collected: <= n_buckets rows), and -- cached -- the winner set for
     # the prefilter, so the merge job never re-scans the raw batch for
     # it. Exact key counts come free (the groupBy is per key anyway).
+    # __winop is the *outcome* op per key (the max-LSN event's op), so
+    # lineage counts outcomes, not raw delete events: a D→U chain is one
+    # upsert, a multi-D chain is one delete.
     per_key = (
         events.groupBy(*keys)
         .agg(
             F.max(lsn_col).alias("__maxlsn"),
             F.min(lsn_col).alias("__lsnlo"),
             F.count("*").alias("__cnt"),
-            F.sum((F.col(op_col) == "D").cast("long")).alias("__dels"),
+            F.max_by(F.col(op_col), F.col(lsn_col)).alias("__winop"),
         )
         .persist()
     )
+    # estimated serialized key width (string bytes + per-row overhead) —
+    # feeds the bytes-based broadcast budget of the winner prefilter
+    key_width = F.lit(16 * len(keys) + 8)
+    for c in keys:
+        key_width = key_width + F.coalesce(
+            F.octet_length(F.col(c).cast("string")), F.lit(0)
+        )
     per_bucket = {
         r["__b"]: r
         for r in per_key.groupBy(bucket_expr(keys, snap.n_buckets).alias("__b"))
         .agg(
             F.sum("__cnt").alias("rows_in"),
             F.count("*").alias("keys"),
-            F.sum("__dels").alias("deletes"),
+            F.sum((F.col("__winop") == "D").cast("long")).alias("deletes"),
             F.min("__lsnlo").alias("lsn_lo"),
             F.max("__maxlsn").alias("lsn_hi"),
+            F.sum(key_width).alias("key_bytes"),
         )
         .collect()
     }
@@ -279,178 +293,205 @@ def merge_batch(
         )
         return MergeStats(batch_id=batch_id, skipped=False, snapshot_version=new_snap.version)
 
-    # strategy resolution: the bucket-local path needs every affected
-    # bucket's files at the current schema version (it reads them with
-    # pyarrow, bypassing the JVM field-id mapping) and only pays off
-    # when the resident side outweighs the batch.
-    strategy = _resolve_requested_strategy(strategy)
-    affected_files = [f for f in snap.files if f.bucket in affected]
-    if strategy == "auto":
-        uniform_schema = all(
-            f.schema_version == snap.schema.schema_version and f.kind == "base"
+    # everything below may raise (bad strategy, failed write/commit);
+    # the finally guarantees the cached per-key stats never leak
+    try:
+        # strategy resolution: the bucket-local path needs every affected
+        # bucket's files at the current schema version (it reads them with
+        # pyarrow, bypassing the JVM field-id mapping) and only pays off
+        # when the resident side outweighs the batch.
+        strategy = _resolve_requested_strategy(strategy)
+        affected_files = [f for f in snap.files if f.bucket in affected]
+        if strategy == "auto":
+            uniform_schema = all(
+                f.schema_version == snap.schema.schema_version and f.kind == "base"
+                for f in affected_files
+            )
+            resident_rows = sum(f.rows for f in affected_files)
+            rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
+            # bucket_local removes the resident-side exchange — a win only
+            # where the exchange crosses executor JVMs. Under plain local[N]
+            # the shuffle is an in-memory copy and the Arrow hop costs more
+            # (measured 2x slower at 6M resident / 1M batch), so auto picks
+            # it only with real executors (incl. local-cluster), a
+            # resident-dominated merge, and a root every executor can read
+            # as a POSIX path (see _root_is_shared_posix).
+            master = table.spark.sparkContext.master
+            single_jvm = master == "local" or master.startswith("local[")
+            strategy = (
+                "bucket_local"
+                if uniform_schema
+                and not single_jvm
+                and resident_rows > rows_in_total
+                and _root_is_shared_posix(table.root)
+                else "fused"
+            )
+        elif strategy == "bucket_local" and any(
+            f.schema_version != snap.schema.schema_version or f.kind != "base"
             for f in affected_files
-        )
-        resident_rows = sum(f.rows for f in affected_files)
+        ):
+            # correctness guard: old-version files need JVM field-id mapping,
+            # and delta files need the read path's LWW fold
+            strategy = "fused"
+
+        # Late materialization (all strategies): when the batch has
+        # significant key duplication (CDC update chains — the common case),
+        # resolve the LWW winner on a *slim* (keys, lsn) aggregate first,
+        # broadcast the winner set, and let only winning rows' wide payloads
+        # into the downstream exchange. Shuffle bytes shrink by the dup
+        # ratio (~8x measured at the bench's Zipf spec); the slim pre-agg
+        # shuffles ~1% of the bytes. Skipped when the winner set is too big
+        # to broadcast or there is nothing to collapse. The broadcast
+        # budget is *bytes* (measured key widths from the stats aggregate,
+        # not a row count — wide composite string keys hit driver memory
+        # long before 4M rows); PANORAMA_PREFILTER_MAX_KEYS stays as a
+        # secondary row guard.
         rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
-        # bucket_local removes the resident-side exchange — a win only
-        # where the exchange crosses executor JVMs. Under plain local[N]
-        # the shuffle is an in-memory copy and the Arrow hop costs more
-        # (measured 2x slower at 6M resident / 1M batch), so auto picks
-        # it only with real executors (incl. local-cluster), a
-        # resident-dominated merge, and a root every executor can read
-        # as a POSIX path (see _root_is_shared_posix).
-        master = table.spark.sparkContext.master
-        single_jvm = master == "local" or master.startswith("local[")
-        strategy = (
-            "bucket_local"
-            if uniform_schema
-            and not single_jvm
-            and resident_rows > rows_in_total
-            and _root_is_shared_posix(table.root)
-            else "fused"
+        n_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
+        key_bytes = int(sum(int(r["key_bytes"] or 0) for r in per_bucket.values()))
+        prefilter_max = int(os.environ.get("PANORAMA_PREFILTER_MAX_KEYS", "4000000"))
+        prefilter_max_bytes = int(
+            os.environ.get("PANORAMA_PREFILTER_MAX_BYTES", str(256 << 20))
         )
-    elif strategy == "bucket_local" and any(
-        f.schema_version != snap.schema.schema_version or f.kind != "base"
-        for f in affected_files
-    ):
-        # correctness guard: old-version files need JVM field-id mapping,
-        # and delta files need the read path's LWW fold
-        strategy = "fused"
+        if (
+            0 < n_keys <= prefilter_max
+            and key_bytes <= prefilter_max_bytes
+            and rows_in_total >= 2 * n_keys
+        ):
+            # null-safe equi-join: NULL is a valid key value for groupBy,
+            # so the prefilter must not silently drop NULL-keyed events
+            # (all strategies would then disagree with each other). The
+            # winner side's key columns are aliased so the join condition
+            # is unambiguous; the lsn filter is null-safe too (a key whose
+            # every lsn is NULL keeps its rows and defers to max_by).
+            winners = per_key.select(  # already cached above
+                *[F.col(c).alias(f"__wk{i}") for i, c in enumerate(keys)], "__maxlsn"
+            )
+            cond = F.col(keys[0]).eqNullSafe(F.col("__wk0"))
+            for i, c in enumerate(keys[1:], start=1):
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__wk{i}"))
+            events = (
+                events.join(F.broadcast(winners), on=cond)
+                .filter(F.col(lsn_col).eqNullSafe(F.col("__maxlsn")))
+                .drop("__maxlsn", *[f"__wk{i}" for i in range(len(keys))])
+            )
+            timer.lap("winner_prefilter_plan")
 
-    # Late materialization (all strategies): when the batch has
-    # significant key duplication (CDC update chains — the common case),
-    # resolve the LWW winner on a *slim* (keys, lsn) aggregate first,
-    # broadcast the winner set, and let only winning rows' wide payloads
-    # into the downstream exchange. Shuffle bytes shrink by the dup
-    # ratio (~8x measured at the bench's Zipf spec); the slim pre-agg
-    # shuffles ~1% of the bytes. Skipped when the winner set is too big
-    # to broadcast or there is nothing to collapse.
-    rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
-    n_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
-    prefilter_max = int(os.environ.get("PANORAMA_PREFILTER_MAX_KEYS", "4000000"))
-    if 0 < n_keys <= prefilter_max and rows_in_total >= 2 * n_keys:
-        winners = per_key.select(*keys, "__maxlsn")  # already cached above
-        events = (
-            events.join(F.broadcast(winners), on=list(keys))
-            .filter(F.col(lsn_col) == F.col("__maxlsn"))
-            .drop("__maxlsn")
-        )
-        timer.lap("winner_prefilter_plan")
-
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload_cols], F.col(op_col)), F.col(lsn_col)
-    ).alias("__w")
-    new_version = snap.version + 1
-    replaced_buckets = affected
-    if strategy == "append_delta":
-        # Merge-on-read write path: dedupe the batch (same pinned
-        # exchange = bucket layout) and append the winners as *delta*
-        # files carrying (__op, __lsn) — the resident table is neither
-        # read nor rewritten, so per-batch cost is O(batch), not
-        # O(touched buckets). Readers fold deltas (LakeTable.read);
-        # LakeTable.compact() folds them into base files.
-        with _pinned_shuffle(table.spark, snap.n_buckets):
-            deduped = (
-                events.groupBy(*keys)
-                .agg(winner, F.max(lsn_col).alias("__lsn"))
-                .select(
-                    *keys,
-                    *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
-                    F.col(f"__w.{op_col}").alias("__op"),
-                    F.col("__lsn"),
+        winner = F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols], F.col(op_col)), F.col(lsn_col)
+        ).alias("__w")
+        new_version = snap.version + 1
+        replaced_buckets = affected
+        if strategy == "append_delta":
+            # Merge-on-read write path: dedupe the batch (same pinned
+            # exchange = bucket layout) and append the winners as *delta*
+            # files carrying (__op, __lsn) — the resident table is neither
+            # read nor rewritten, so per-batch cost is O(batch), not
+            # O(touched buckets). Readers fold deltas (LakeTable.read);
+            # LakeTable.compact() folds them into base files.
+            with _pinned_shuffle(table.spark, snap.n_buckets):
+                deduped = (
+                    events.groupBy(*keys)
+                    .agg(winner, F.max(lsn_col).alias("__lsn"))
+                    .select(
+                        *keys,
+                        *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+                        F.col(f"__w.{op_col}").alias("__op"),
+                        F.col("__lsn"),
+                    )
                 )
-            )
-            new_files = table.write_bucket_files(
-                deduped, new_version, pre_partitioned=True, kind="delta"
-            )
-        replaced_buckets = set()  # pure append: nothing replaced
-    elif strategy == "bucket_local":
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        bucket_paths: dict[int, list[str]] = {}
-        for f in affected_files:
-            bucket_paths.setdefault(int(f.bucket), []).append(
-                os.path.join(table.root, f.path)
-            )
-        out_struct = snap.schema.to_struct()
-        with _pinned_shuffle(table.spark, snap.n_buckets):
-            deduped = (
-                events.groupBy(*keys)
-                .agg(winner)
-                .select(
-                    *keys,
-                    *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
-                    F.col(f"__w.{op_col}").alias(op_col),
+                new_files = table.write_bucket_files(
+                    deduped, new_version, pre_partitioned=True, kind="delta"
                 )
-                .withColumn("__b", bucket_expr(keys, snap.n_buckets))
-            )
-            merged = deduped.mapInArrow(
-                _bucket_local_map_fn(
-                    bucket_paths,
-                    list(keys),
-                    list(data_cols),
-                    op_col,
-                    to_arrow_schema(out_struct),
-                ),
-                out_struct,
-            )
-            new_files = table.write_bucket_files(
-                merged, new_version, pre_partitioned=True
-            )
-    else:
-        # existing rows of the affected buckets, tagged to lose every tie:
-        # any batch event (lsn ≥ 0) beats the resident row (lsn = -1).
-        resident = table.read(buckets=affected).select(
-            *keys,
-            *payload_cols,
-            F.lit("E").alias(op_col),
-            F.lit(-1).cast("long").alias(lsn_col),
-        )
-        unioned = resident.unionByName(events)
-        with _pinned_shuffle(table.spark, snap.n_buckets):
-            merged = (
-                unioned.groupBy(*keys)
-                .agg(winner)
-                .filter(F.col(f"__w.{op_col}") != "D")
-                .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
-            )
-            new_files = table.write_bucket_files(merged, new_version, pre_partitioned=True)
-    timer.lap(f"merge_write[{strategy}]")
+            replaced_buckets = set()  # pure append: nothing replaced
+        elif strategy == "bucket_local":
+            from pyspark.sql.pandas.types import to_arrow_schema
 
-    upserted = int(sum(max(r["keys"] - r["deletes"], 0) for r in per_bucket.values()))
-    deleted = int(sum(r["deletes"] for r in per_bucket.values()))
-    lineage_rows = [
-        {
-            "batch_id": batch_id,
-            "bucket": int(b),
-            "lsn_lo": int(per_bucket[b]["lsn_lo"]),
-            "lsn_hi": int(per_bucket[b]["lsn_hi"]),
-            "rows_in": int(per_bucket[b]["rows_in"]),
-            "rows_upserted": int(max(per_bucket[b]["keys"] - per_bucket[b]["deletes"], 0)),
-            "rows_deleted": int(per_bucket[b]["deletes"]),
-            "snapshot_version": new_version,
-        }
-        for b in sorted(affected)
-    ]
-    batch_max_lsn = max(int(per_bucket[b]["lsn_hi"]) for b in affected)
-    new_snap = table.commit_replace_buckets(
-        snap,
-        replaced_buckets,
-        new_files,
-        last_lsn=max(snap.last_lsn, batch_max_lsn),
-        batch_id=batch_id,
-        lineage_rows=lineage_rows,
-    )
-    timer.lap("commit")
-    per_key.unpersist()
-    return MergeStats(
-        batch_id=batch_id,
-        skipped=False,
-        rows_in=int(sum(r["rows_in"] for r in per_bucket.values())),
-        keys_in_batch=int(sum(r["keys"] for r in per_bucket.values())),
-        rows_upserted=upserted,
-        rows_deleted=deleted,
-        buckets_touched=len(affected),
-        snapshot_version=new_snap.version,
-        strategy=strategy,
-    )
+            bucket_paths: dict[int, list[str]] = {}
+            for f in affected_files:
+                bucket_paths.setdefault(int(f.bucket), []).append(
+                    os.path.join(table.root, f.path)
+                )
+            out_struct = snap.schema.to_struct()
+            with _pinned_shuffle(table.spark, snap.n_buckets):
+                deduped = (
+                    events.groupBy(*keys)
+                    .agg(winner)
+                    .select(
+                        *keys,
+                        *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+                        F.col(f"__w.{op_col}").alias(op_col),
+                    )
+                    .withColumn("__b", bucket_expr(keys, snap.n_buckets))
+                )
+                merged = deduped.mapInArrow(
+                    _bucket_local_map_fn(
+                        bucket_paths,
+                        list(keys),
+                        list(data_cols),
+                        op_col,
+                        to_arrow_schema(out_struct),
+                    ),
+                    out_struct,
+                )
+                new_files = table.write_bucket_files(
+                    merged, new_version, pre_partitioned=True
+                )
+        else:
+            # existing rows of the affected buckets, tagged to lose every tie:
+            # any batch event (lsn ≥ 0) beats the resident row (lsn = -1).
+            resident = table.read(buckets=affected).select(
+                *keys,
+                *payload_cols,
+                F.lit("E").alias(op_col),
+                F.lit(-1).cast("long").alias(lsn_col),
+            )
+            unioned = resident.unionByName(events)
+            with _pinned_shuffle(table.spark, snap.n_buckets):
+                merged = (
+                    unioned.groupBy(*keys)
+                    .agg(winner)
+                    .filter(F.col(f"__w.{op_col}") != "D")
+                    .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+                )
+                new_files = table.write_bucket_files(merged, new_version, pre_partitioned=True)
+        timer.lap(f"merge_write[{strategy}]")
+
+        upserted = int(sum(max(r["keys"] - r["deletes"], 0) for r in per_bucket.values()))
+        deleted = int(sum(r["deletes"] for r in per_bucket.values()))
+        lineage_rows = [
+            {
+                "batch_id": batch_id,
+                "bucket": int(b),
+                "lsn_lo": int(per_bucket[b]["lsn_lo"]),
+                "lsn_hi": int(per_bucket[b]["lsn_hi"]),
+                "rows_in": int(per_bucket[b]["rows_in"]),
+                "rows_upserted": int(max(per_bucket[b]["keys"] - per_bucket[b]["deletes"], 0)),
+                "rows_deleted": int(per_bucket[b]["deletes"]),
+                "snapshot_version": new_version,
+            }
+            for b in sorted(affected)
+        ]
+        batch_max_lsn = max(int(per_bucket[b]["lsn_hi"]) for b in affected)
+        new_snap = table.commit_replace_buckets(
+            snap,
+            replaced_buckets,
+            new_files,
+            last_lsn=max(snap.last_lsn, batch_max_lsn),
+            batch_id=batch_id,
+            lineage_rows=lineage_rows,
+        )
+        timer.lap("commit")
+        return MergeStats(
+            batch_id=batch_id,
+            skipped=False,
+            rows_in=int(sum(r["rows_in"] for r in per_bucket.values())),
+            keys_in_batch=int(sum(r["keys"] for r in per_bucket.values())),
+            rows_upserted=upserted,
+            rows_deleted=deleted,
+            buckets_touched=len(affected),
+            snapshot_version=new_snap.version,
+            strategy=strategy,
+        )
+    finally:
+        per_key.unpersist()

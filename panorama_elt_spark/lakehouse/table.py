@@ -7,7 +7,8 @@ Storage layout (table root):
 
 Design for 100 TB:
 
-* Rows are hash-bucketed by ``pmod(xxhash64(*key_cols), n_buckets)`` —
+* Rows are hash-bucketed by ``pmod(hash(*key_cols), n_buckets)``
+  (Murmur3, the HashPartitioning family — see ``bucket_expr``) —
   the same function on write and on merge, so a change batch touches only
   the buckets its keys hash to and a MERGE rewrites *only those buckets*
   (copy-on-write at bucket grain). This is the scalable generalization of

@@ -13,8 +13,9 @@ Cluster sizing knobs (pass via ``extra_conf`` on a real deployment):
   hundreds of thousands of tasks.
 * table ``n_buckets``: size so one bucket's rewrite fits an executor
   comfortably (~16k buckets ⇒ ~6 GB/bucket at 100 TB).
-* ``PANORAMA_PREFILTER_MAX_KEYS``: winner-broadcast budget (rows); keep
-  ≤ a few × 10^6 per 8 GB of driver memory.
+* ``PANORAMA_PREFILTER_MAX_BYTES`` (default 256 MiB): winner-broadcast
+  budget in measured key bytes; ``PANORAMA_PREFILTER_MAX_KEYS`` is a
+  secondary row guard. Keep the bytes budget well under driver memory.
 """
 
 from __future__ import annotations

@@ -21,11 +21,49 @@ late event older than the applied row loses the ``max_by``; SURVEY.md
 
 from __future__ import annotations
 
+import hashlib
+import os
+import uuid
+
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..cdc.merge import merge_batch
 from ..lakehouse.table import LakeTable
+
+
+def _stream_identity(checkpoint_dir: str) -> str:
+    """Stable namespace for one checkpoint *incarnation*, stored inside
+    the checkpoint dir itself. Bare ``epoch-{n}`` batch ids collide
+    across checkpoint resets: delete the checkpoint (or point a second
+    stream at the same table) and epoch 0 recurs — the sink's
+    exactly-once guard would then silently *skip* a real batch. With the
+    id tied to the checkpoint's lifetime:
+
+    * failure/retry of an epoch — checkpoint survives → same id → the
+      re-delivered epoch dedupes (exactly-once preserved);
+    * checkpoint reset / second stream — fresh id → epoch 0 re-applies,
+      and LWW-by-LSN makes the re-application convergent.
+
+    Non-POSIX checkpoint URIs (hdfs://, s3a://) fall back to a
+    deterministic digest of the URI — per-location, not per-incarnation,
+    which still separates concurrent streams (deploys there should
+    rotate checkpoint paths on reset, the standard practice anyway).
+    """
+    if "://" in checkpoint_dir and not checkpoint_dir.startswith("file://"):
+        return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    local = checkpoint_dir.removeprefix("file://")
+    os.makedirs(local, exist_ok=True)
+    marker = os.path.join(local, "panorama-stream-id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return fh.read().strip()
+    sid = uuid.uuid4().hex[:12]
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(sid)
+    os.replace(tmp, marker)
+    return sid
 
 
 def stream_changelog_to_table(
@@ -51,8 +89,10 @@ def stream_changelog_to_table(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(log_dir)
 
+    stream_id = _stream_identity(checkpoint_dir)
+
     def apply(batch_df, epoch_id: int) -> None:
-        merge_batch(table, batch_df, batch_id=f"epoch-{epoch_id}")
+        merge_batch(table, batch_df, batch_id=f"{stream_id}-epoch-{epoch_id}")
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir

@@ -434,3 +434,77 @@ def test_strategy_argument_beats_env_and_invalid_raises(spark, tmp_path, monkeyp
     monkeypatch.delenv("PANORAMA_MERGE_STRATEGY")
     with pytest.raises(ValueError, match="fussed"):
         merge_batch(t, log, "b1", strategy="fussed")
+
+
+# ------------------------------------------------------- lineage outcomes
+
+
+def test_lineage_counts_outcomes_not_events(spark, tmp_path):
+    """rows_deleted/rows_upserted count per-key *outcomes* (the max-LSN
+    winner's op), not raw delete events: a D→U chain is one upsert, a
+    multi-D chain is one delete."""
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    rows = [
+        (1, "D", "r1", "a", None, None, None),        # a: D then U → upsert
+        (2, "U", "r1", "a", "c2", "py", "xa"),
+        (3, "D", "r1", "b", None, None, None),        # b: D, D → ONE delete
+        (4, "D", "r1", "b", None, None, None),
+        (5, "U", "r1", "c", "c5", "py", "yc"),        # c: U then D → delete
+        (6, "D", "r1", "c", None, None, None),
+        (7, "I", "r1", "e", "c7", "py", "ze"),        # e: plain insert
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
+    )
+    stats = merge_batch(t, batch, "b0")
+    assert stats.keys_in_batch == 4
+    assert stats.rows_in == 7
+    assert stats.rows_deleted == 2   # winners D: keys b and c
+    assert stats.rows_upserted == 2  # winners not-D: keys a and e
+    lineage = t.snapshot.lineage
+    assert sum(r["rows_deleted"] for r in lineage) == 2
+    assert sum(r["rows_upserted"] for r in lineage) == 2
+    state = {(r["repo"], r["path"]) for r in t.read().collect()}
+    assert state == {("r1", "a"), ("r1", "e")}
+
+
+def test_prefilter_is_null_key_safe(spark, tmp_path):
+    """NULL is a valid groupBy key; the winner-prefilter broadcast join
+    must not silently drop NULL-keyed events (the prefilter fires
+    data-dependently, so dropping them would make the same log produce
+    different states depending on dup ratio)."""
+    nullable = TableSchema(
+        [
+            Field(1, "repo", "string", True),
+            Field(2, "path", "string", True),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "repos"), nullable, ["repo", "path"], n_buckets=4
+    )
+    rows = [
+        (1, "I", None, None, "c1", "py", "v1"),   # null-key update chain
+        (2, "U", None, None, "c2", "py", "v2"),
+        (3, "U", None, None, "c3", "py", "v3"),
+        (4, "I", "r1", "a", "c4", "py", "w1"),    # normal update chain
+        (5, "U", "r1", "a", "c5", "py", "w2"),
+        (6, "U", "r1", "a", "c6", "py", "w3"),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
+    )
+    # rows_in=6 >= 2 * n_keys=2 → the prefilter path fires
+    stats = merge_batch(t, batch, "b0")
+    assert stats.keys_in_batch == 2
+    assert stats.rows_upserted == 2
+    got = sorted(
+        [(r["repo"], r["path"], r["commit"]) for r in t.read().collect()],
+        key=lambda x: (x[0] is not None, x),
+    )
+    assert got == [(None, None, "c3"), ("r1", "a", "c6")]

@@ -75,3 +75,30 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     q3 = stream_changelog_to_table(spark, log_dir, t, ckpt2)
     q3.awaitTermination(120)
     assert _rows(t.read()) == state
+
+
+def test_checkpoint_reset_does_not_skip_epoch_zero(spark, tmp_path):
+    """Batch ids are namespaced per checkpoint incarnation: wiping the
+    checkpoint restarts epoch numbering at 0, and an un-namespaced
+    ``epoch-0`` id would be silently skipped by the exactly-once guard —
+    leaving the table stuck at the first drain's state."""
+    import shutil
+
+    spec = ChangeLogSpec(n_events=2000, n_keys=150)
+    log = generate_change_log(spark, spec)
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    log.filter(F.col("lsn") < 1000).write.parquet(log_dir)
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=8)
+    q = stream_changelog_to_table(spark, log_dir, t, ckpt)
+    q.awaitTermination(120)
+    assert t.read().count() > 0
+
+    # checkpoint lost; the log has grown; a fresh stream re-drains the
+    # whole directory as its epoch 0 — it must apply, not dedupe-skip
+    shutil.rmtree(ckpt)
+    log.filter(F.col("lsn") >= 1000).write.mode("append").parquet(log_dir)
+    q2 = stream_changelog_to_table(spark, log_dir, t, ckpt)
+    q2.awaitTermination(120)
+    assert _rows(t.read()) == _rows(expected_final_state(spark, spec))
