@@ -191,6 +191,7 @@ def kmeans_centroids(
     k: int = 8,
     iters: int = 3,
     seed: int = 42,
+    assign: str = "auto",
 ) -> tuple[list[list[float]], list[float]]:
     """Distributed Lloyd k-means over the embedding column — the real
     centroid provider for IVF (replacing the deterministic first-N
@@ -199,16 +200,33 @@ def kmeans_centroids(
     * init: the k rows with the smallest md5(seed‖id) — a deterministic
       hash-ordered sample (k-means‖-style seeding without RNG state, so
       the fit reproduces at any parallelism).
-    * iterate: assign = argmin squared-L2 to the *broadcast* centroid
-      literals (map-only, no shuffle of the corpus); update = per-
-      dimension mean via ``posexplode`` + one partial-aggregated
-      groupBy((cid, dim)) — the only shuffle per iteration carries
-      (cid, dim, partial sums), never vectors.
+    * iterate: assign = argmin squared-L2; update = per-dimension mean
+      via ``posexplode`` + one partial-aggregated groupBy((cid, dim)) —
+      the only shuffle per iteration carries (cid, dim, partial sums),
+      never vectors.
     * driver state: k×dim floats per iteration — constants, not data.
 
-    Returns (centroids, inertia-per-iteration). Inertia (mean squared
-    distance) is non-increasing under Lloyd updates; the test asserts it.
+    Two assignment shapes (``assign``):
+
+    * ``"literal"`` — the centroids are folded in as O(k) literal
+      expressions; map-only (zero shuffle), ideal at small k but the
+      expression tree grows linearly with k and breaks down at real
+      index sizes (k ≈ 64k).
+    * ``"join"`` — the centroid *table* broadcast-joins the corpus and a
+      lexicographic ``min(struct(d2, cid))`` per vid picks the argmin —
+      the shape that survives any k (the broadcast is k×dim doubles; the
+      extra exchange carries (vid, d2, cid), never vectors twice).
+    * ``"auto"`` — literal for k ≤ 16, join above.
+
+    Both produce identical assignments (ties → lowest cid; parity is
+    pytest-asserted). Returns (centroids, inertia-per-iteration);
+    inertia is non-increasing under Lloyd updates and the test asserts
+    it.
     """
+    if assign not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown assign strategy {assign!r}")
+    use_join = assign == "join" or (assign == "auto" and k > 16)
+    spark = corpus.sparkSession
     base = (
         corpus.select(F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"))
         .persist()
@@ -222,22 +240,42 @@ def kmeans_centroids(
     cents = [list(r["v"]) for r in seeds]
     inertias: list[float] = []
     for _ in range(iters):
-        # nearest centroid by squared L2 against literal matrices
-        d2s = [
-            F.aggregate(
-                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+        if use_join:
+            cents_df = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                "cid int, cv array<double>",
+            )
+            d2 = F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            for c in cents
-        ]
-        pairs = F.array(
-            *[F.struct(d2.alias("d2"), F.lit(i).alias("i")) for i, d2 in enumerate(d2s)]
-        )
-        best = F.array_min(pairs)  # lexicographic: min d2, ties → lowest cid
-        assigned = base.select(
-            "vid", "v", best["i"].cast("int").alias("cid"), best["d2"].alias("d2")
-        )
+            scored = base.join(F.broadcast(cents_df)).select(
+                "vid", d2.alias("d2"), "cid"
+            )
+            best_by_vid = scored.groupBy("vid").agg(
+                F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m")
+            )
+            assigned = base.join(best_by_vid, on="vid").select(
+                "vid", "v", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2")
+            )
+        else:
+            # nearest centroid by squared L2 against literal matrices
+            d2s = [
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+            pairs = F.array(
+                *[F.struct(d2.alias("d2"), F.lit(i).alias("i")) for i, d2 in enumerate(d2s)]
+            )
+            best = F.array_min(pairs)  # lexicographic: min d2, ties → lowest cid
+            assigned = base.select(
+                "vid", "v", best["i"].cast("int").alias("cid"), best["d2"].alias("d2")
+            )
         agg = (
             assigned.select("cid", "d2", F.posexplode("v").alias("dim", "x"))
             .groupBy("cid", "dim")
@@ -266,39 +304,35 @@ def kmeans_centroids(
     return cents, inertias
 
 
-def ivf_cells(
-    corpus: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 8,
-    centroids: list[list[float]] | None = None,
-) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    centroid by cosine (argmax, ties → lowest centroid id).
+def _prep_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
 
-    Default centroids are the first ``n_centroids`` corpus vectors by
-    id — a deterministic, engine-portable stand-in (this keeps the
-    DuckDB oracle exact). Pass ``centroids`` (e.g. from
-    ``kmeans_centroids``) for a quality-fitted index; the assignment
-    below is unchanged. The centroid side is broadcast, so assignment
-    is a map-only stage — no shuffle over the corpus.
-    Returns (vid, v, cid)."""
-    c = (
-        corpus.select(F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v"))
-        .withColumn("nrm", norm(F.col("v")))
-        .persist()
-    )
+
+def _centroid_frame(
+    c: DataFrame, n_centroids: int, centroids: list[list[float]] | None
+) -> DataFrame:
+    """(cid, cv, cn). Default centroids are the first ``n_centroids``
+    corpus vectors by id — a deterministic, engine-portable stand-in
+    (keeps the DuckDB oracle exact). Pass ``centroids`` (e.g. from
+    ``kmeans_centroids``) for a quality-fitted index."""
     if centroids is not None:
-        spark = corpus.sparkSession
-        cents = spark.createDataFrame(
+        spark = c.sparkSession
+        return spark.createDataFrame(
             [(i, [float(x) for x in cv]) for i, cv in enumerate(centroids)],
             "cid int, cv array<double>",
         ).select("cid", "cv", norm(F.col("cv")).alias("cn"))
-    else:
-        cents = c.filter(F.col("vid") < n_centroids).select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-        )
+    return c.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+
+
+def _assign_cells(c: DataFrame, cents: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (argmax, ties → lowest centroid id). The centroid side is broadcast,
+    so assignment is a map-only stage — no shuffle over the corpus.
+    Returns (vid, v, nrm, cid), one row per probed cell."""
     scored = c.join(F.broadcast(cents)).select(
         "vid",
         "v",
@@ -311,9 +345,23 @@ def ivf_cells(
     wa = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("vid", "v", "nrm", "cid")
     )
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF coarse quantization of the corpus (every vector in exactly
+    one cell). Returns (vid, v, nrm, cid)."""
+    c = _prep_vecs(corpus, id_col, vec_col).persist()
+    return _assign_cells(c, _centroid_frame(c, n_centroids, centroids), 1)
 
 
 def cosine_topk_ivf(
@@ -325,22 +373,34 @@ def cosine_topk_ivf(
     k: int = 10,
     n_centroids: int = 8,
     centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: quantize corpus + queries to
-    centroid cells, then exact cosine rerank *within the query's cell*
-    (nprobe=1). Same output shape as ``cosine_topk``. At scale the
-    cell join shuffles on cid — each task scans one inverted list, so
-    work per query is |cell| not |corpus|. Pass ``centroids`` from
-    ``kmeans_centroids`` for a fitted index."""
-    # materialize the inverted index once — both the query branch and the
-    # corpus branch read it (at warehouse scale this is a persisted table)
-    cells = ivf_cells(
-        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
-        centroids=centroids,
-    ).persist()
-    q = cells.join(
-        queries.select(F.col(id_col).alias("vid")), on="vid", how="left_semi"
-    ).select(
+    centroid cells, then exact cosine rerank within the query's
+    ``nprobe`` nearest cells. Same output shape as ``cosine_topk``. At
+    scale the cell join shuffles on cid — each task scans one inverted
+    list, so work per query is nprobe × |cell|, not |corpus|; raising
+    ``nprobe`` buys recall linearly in probed-list size (the standard
+    IVF recall knob, lifting the nprobe=1 blind spot of a query sitting
+    near a cell boundary). Pass ``centroids`` from ``kmeans_centroids``
+    for a fitted index."""
+    # materialize the normalized corpus + inverted index once — the
+    # query branch and the corpus branch both read them (at warehouse
+    # scale these are persisted tables)
+    c = _prep_vecs(corpus, id_col, vec_col).persist()
+    cents = _centroid_frame(c, n_centroids, centroids)
+    cells = _assign_cells(c, cents, 1).persist()
+    q_ids = queries.select(F.col(id_col).alias("vid"))
+    if nprobe == 1:
+        q_cells = cells.join(q_ids, on="vid", how="left_semi")
+    else:
+        # the query side probes its top-nprobe cells; corpus rows stay
+        # uniquely assigned, so a (query, neighbor) pair appears at most
+        # once across probed cells — no dedup stage needed
+        q_cells = _assign_cells(
+            c.join(q_ids, on="vid", how="left_semi"), cents, nprobe
+        )
+    q = q_cells.select(
         F.col("vid").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),

@@ -405,6 +405,43 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return g.select("doc_id", sim.cast("int").alias("simhash"))
 
 
+def simhash64_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) at the production width: 64-bit SimHash, same
+    physical shape as ``simhash_df`` (explode + codegen'd hash aggregate
+    with map-side partial sums). Token bits come from two md5 slices —
+    bits 0-31 from hex chars 1-8, bits 32-63 from chars 9-16 — each a
+    32-bit value that fits a BIGINT in any engine, so the DuckDB oracle
+    is exact. Bit 63's weight is the (negative) long min: the fingerprint
+    is the full signed 64-bit space, as ``bit_count(xor())`` expects."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(word_tokens(F.col(text_col))).alias("__t"),
+    )
+    md5 = F.md5(F.col("__t"))
+    ex = ex.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("__hlo"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("__hhi"),
+    )
+
+    def vote(src: str, bit: int):
+        return F.sum(
+            F.when(F.col(src).isNull(), 0)
+            .when(F.shiftright(F.col(src), bit).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        )
+
+    aggs = [vote("__hlo", b).alias(f"v{b}") for b in range(32)] + [
+        vote("__hhi", b - 32).alias(f"v{b}") for b in range(32, 64)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    sim = F.when(F.col("v0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(1, 63):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    sim = sim + F.when(F.col("v63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return g.select("doc_id", sim.cast("long").alias("simhash"))
+
+
 def simhash_near_dupes(
     df: DataFrame,
     id_col: str,
@@ -426,9 +463,11 @@ def simhash_near_dupes(
     Returns (doc_a, doc_b, hamming) with hamming <= max_hamming.
     """
     assert max_hamming < n_chunks, "completeness needs max_hamming < n_chunks"
+    assert n_bits in (16, 64), "fingerprint widths with exact oracles"
     chunk_bits = n_bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    sh = simhash_df(df, id_col, text_col).persist()
+    fingerprints = simhash64_df if n_bits == 64 else simhash_df
+    sh = fingerprints(df, id_col, text_col).persist()
     chunks = sh.select(
         "doc_id",
         F.explode(

@@ -341,11 +341,22 @@ SELECT c.c_name, n.n_name, 2 FROM customer c LEFT JOIN nation n ON c.c_nationkey
 _NESTED_WRITTEN = False
 
 
-def _nested_root() -> str:
+def _scratch_root(name: str) -> str:
+    """Fixed per-process scratch root (RAM-backed when available) for
+    fixtures a query persists so its DuckDB oracle can read the same
+    bytes. The PID suffix keeps concurrent runs (bench.py next to
+    tools/check_oracle.py) from rmtree-ing each other's fixtures
+    mid-read; within one process — the driver runs the Spark query and
+    its oracle in the same process — the path is deterministic, because
+    ``oracle_sql()`` is evaluated by that same process."""
     import tempfile
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, "panorama_nested_docs")
+    return os.path.join(base, f"panorama_{name}_{os.getpid()}")
+
+
+def _nested_root() -> str:
+    return _scratch_root("nested_docs")
 
 
 def _nested_docs(spark: SparkSession) -> DataFrame:
@@ -651,6 +662,121 @@ SELECT doc_a, doc_b, hamming FROM (
 """
 
 # ---------------------------------------------------------------------------
+# D7b — SimHash near-dup pairs at production width: 64-bit fingerprint,
+# 4 chunks of 16 bits, hamming <= 3 (Manku-style, candidate-complete by
+# pigeonhole). Same operator as d7, real-shape parameters.
+# ---------------------------------------------------------------------------
+
+_D7B_MAX_HAMMING, _D7B_CHUNKS, _D7B_BITS = 3, 4, 64
+
+
+def d7b_simhash64_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return textdedup.simhash_near_dupes(
+        docs, "doc_id", "text",
+        n_bits=_D7B_BITS, n_chunks=_D7B_CHUNKS, max_hamming=_D7B_MAX_HAMMING,
+    )
+
+
+def _d7b_sql() -> str:
+    # 64-bit token hash from two md5 slices (each 32 bits — BIGINT-safe
+    # in any engine); bit 63's weight is the signed long minimum, so the
+    # fingerprint spans the full 64-bit space like the Spark side.
+    lo_bits = " + ".join(
+        f"CASE WHEN list_sum([CASE WHEN ((h>>{b})&1)=1 THEN 1 ELSE -1 END for h in tlo]) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(32)
+    )
+    hi_bits = " + ".join(
+        f"CASE WHEN list_sum([CASE WHEN ((h>>{b - 32})&1)=1 THEN 1 ELSE -1 END for h in thi]) > 0 THEN "
+        + ("CAST(-9223372036854775807 - 1 AS BIGINT)" if b == 63 else str(1 << b))
+        + " ELSE 0 END"
+        for b in range(32, 64)
+    )
+    chunk_bits = _D7B_BITS // _D7B_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash >> {c * chunk_bits}) & {mask} AS val FROM sh"
+        for c in range(_D7B_CHUNKS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents),
+h AS (SELECT doc_id,
+             [CAST('0x'||substr(md5(tk),1,8) AS BIGINT) for tk in w] AS tlo,
+             [CAST('0x'||substr(md5(tk),9,8) AS BIGINT) for tk in w] AS thi
+      FROM t),
+sh AS (SELECT doc_id, CAST({lo_bits} + {hi_bits} AS BIGINT) AS simhash FROM h),
+chunks AS ({chunks}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b
+) WHERE hamming <= {_D7B_MAX_HAMMING}
+"""
+
+_A6_PATTERN = "(scan|merge|join|filter|window)"
+
+# ---------------------------------------------------------------------------
+# S6 — point lookup → broadcast dim join, enrich-only-rows-missing-X:
+# the reference fetches a definition document only for problem blocks
+# lacking a weight (course_structures_datasource.py:324-325); here rows
+# whose regex-derived weight is 0 (the a6 measure) are enriched from a
+# small (source, lang) definitions dim — broadcast once, never a
+# per-row lookup.
+# ---------------------------------------------------------------------------
+
+def s6_enrich_missing_weight(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    cnt = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_A6_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("cnt")
+    )
+    base = docs.select("doc_id", "source", "lang", F.length("text").alias("len"), cnt)
+    # the definitions dim: one default weight per (source, lang) — a
+    # bounded domain, deterministic over the corpus (pure integer /
+    # exactly-rounded double math so the oracle is exact)
+    dim = (
+        base.groupBy("source", "lang")
+        .agg((F.floor(F.sum("len") / (F.count("*") * 100)) + 1).alias("default_weight"))
+    )
+    present = base.filter(F.col("cnt") > 0).select(
+        "doc_id", F.col("cnt").alias("weight"), F.lit(False).alias("from_default")
+    )
+    # ONLY the missing rows take the join — the enrich-only-missing shape
+    missing = (
+        base.filter(F.col("cnt") <= 0)
+        .join(F.broadcast(dim), on=["source", "lang"], how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("default_weight"), F.lit(0)).cast("bigint").alias("weight"),
+            F.lit(True).alias("from_default"),
+        )
+    )
+    return present.unionByName(missing)
+
+
+_S6_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, lang, length(text) AS len,
+         CAST(len(regexp_extract_all(text, '{_A6_PATTERN}')) AS BIGINT) AS cnt
+  FROM documents
+),
+dim AS (
+  SELECT source, lang,
+         CAST(floor(CAST(sum(len) AS DOUBLE) / (count(*) * 100)) + 1 AS BIGINT) AS default_weight
+  FROM w GROUP BY source, lang
+)
+SELECT doc_id,
+       CASE WHEN cnt > 0 THEN cnt ELSE coalesce(default_weight, 0) END AS weight,
+       cnt <= 0 AS from_default
+FROM w LEFT JOIN dim USING (source, lang)
+"""
+
+# ---------------------------------------------------------------------------
 # S1/S2 — similarity search: exact brute-force top-k and LSH-bucketed
 # ---------------------------------------------------------------------------
 
@@ -741,18 +867,98 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= {_ANN_K}
 """
 
+def s3b_ann_cosine_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k with nprobe=2: each query probes its two nearest cells
+    and reranks their union — the standard recall knob that lifts the
+    nprobe=1 boundary blind spot (work per query is 2×|cell|, still not
+    |corpus|)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K,
+        n_centroids=_IVF_K, nprobe=2,
+    ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+_S3B_SQL = f"""
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_K}),
+scored AS (
+  SELECT e.vec_id AS vid, e.v, cid,
+         round(list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+  FROM e CROSS JOIN c
+),
+cells AS (
+  SELECT vid, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn FROM scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vid AS qid, v AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn FROM scored
+  ) WHERE rn <= 2 AND vid < {_ANN_NQ}
+),
+s AS (
+  SELECT qid AS query_id, cells.vid AS neighbor_id,
+         round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q JOIN cells USING (cid) WHERE cells.vid <> qid
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= {_ANN_K}
+"""
+
+
 def s4_ann_cosine_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """IVF top-k with *fitted* centroids: distributed Lloyd k-means
     (hash-seeded, broadcast-centroid assignment, posexplode mean update)
-    replaces s3's deterministic first-N stand-in. Iterative algorithm →
-    no SQL oracle by design (driver records the rows-only check);
-    determinism + inertia convergence + parity of the assignment path
-    are pytest-verified (tests/test_operators.py)."""
+    replaces s3's deterministic first-N stand-in. The fit is
+    deterministic (hash-seeded init, fixed iterations), so the fitted
+    centroids are persisted to a fixed parquet path — the same pattern
+    as the CDC log fixtures — and the oracle replays the *assignment +
+    rerank* in plain SQL over them; the iterative fit itself is
+    additionally pytest-verified (determinism, non-increasing inertia,
+    literal/join assignment parity)."""
+    import atexit
+    import shutil
+
     emb = load_table(spark, sf, "embeddings")
     cents, _ = similarity.kmeans_centroids(emb, k=_IVF_K, iters=2)
+    root = _scratch_root("s4_centroids")
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in cv]) for i, cv in enumerate(cents)],
+        "cid int, cv array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(root, "cents"))
     return similarity.cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K, centroids=cents
     ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+def _s4_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+c AS (SELECT cid, cv FROM read_parquet('{_scratch_root("s4_centroids")}/cents/*.parquet')),
+scored AS (
+  SELECT e.vec_id AS vid, e.v, cid,
+         round(list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+  FROM e CROSS JOIN c
+),
+cells AS (
+  SELECT vid, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vid AS qid, v AS qv, cid FROM cells WHERE vid < {_ANN_NQ}),
+s AS (
+  SELECT qid AS query_id, cells.vid AS neighbor_id,
+         round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+  FROM q JOIN cells USING (cid) WHERE cells.vid <> qid
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= {_ANN_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -812,10 +1018,8 @@ SELECT doc_id, lang_pred, n_tokens_ws, n_tokens_bpe, quality, fingerprint FROM p
 # ---------------------------------------------------------------------------
 # A6 — regex-match-count derived measure (the problem-weight heuristic,
 # course_structures_datasource.py:320-356: weight = #matches of a tag
-# alternation regex)
+# alternation regex; _A6_PATTERN is defined above s6, which reuses it)
 # ---------------------------------------------------------------------------
-
-_A6_PATTERN = "(scan|merge|join|filter|window)"
 
 
 def a6_regex_tag_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -997,13 +1201,9 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def _cdc_replay_root() -> str:
-    """Fixed per-host scratch root (RAM-backed when available). Reused —
-    wiped and rewritten on every call — so repeated bench/test/oracle
-    runs never accumulate leaked table copies."""
-    import tempfile
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, "panorama_cdc_replay")
+    """Per-process scratch root, wiped and rewritten on every call — so
+    repeated bench/test/oracle runs never accumulate leaked copies."""
+    return _scratch_root("cdc_replay")
 
 
 def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
@@ -1060,10 +1260,7 @@ def _cdc_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def _cdc_stream_root() -> str:
-    import tempfile
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, "panorama_cdc_stream")
+    return _scratch_root("cdc_stream")
 
 
 def cdc_stream_state(spark: SparkSession, sf: str) -> DataFrame:
@@ -1117,10 +1314,7 @@ def _cdc_stream_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def _cdc_changes_root() -> str:
-    import tempfile
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, "panorama_cdc_changes")
+    return _scratch_root("cdc_changes")
 
 
 def cdc_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
@@ -1216,13 +1410,16 @@ def queries() -> dict[str, QueryFn]:
         "d5_embedding_neardup": d5_embedding_neardup,
         "d6_ngram_jaccard": d6_ngram_jaccard,
         "d7_simhash_neardup": d7_simhash_neardup,
+        "d7b_simhash64_neardup": d7b_simhash64_neardup,
         "a6_regex_tag_count": a6_regex_tag_count,
+        "s6_enrich_missing_weight": s6_enrich_missing_weight,
         "f11_id_roundtrip": f11_id_roundtrip,
         "f13_url_encoded_partition": f13_url_encoded_partition,
         "j5_zip_lists": j5_zip_lists,
         "s1_ann_cosine_topk": s1_ann_cosine_topk,
         "s2_ann_cosine_lsh": s2_ann_cosine_lsh,
         "s3_ann_cosine_ivf": s3_ann_cosine_ivf,
+        "s3b_ann_cosine_ivf_nprobe": s3b_ann_cosine_ivf_nprobe,
         "s4_ann_cosine_ivf_kmeans": s4_ann_cosine_ivf_kmeans,
         "t1_text_profile": t1_text_profile,
         "m1_multimodal_features": m1_multimodal_features,
@@ -1254,13 +1451,19 @@ def oracle_sql() -> dict[str, str]:
         "d5_embedding_neardup": _d5_sql(),
         "d6_ngram_jaccard": _d6_sql(),
         "d7_simhash_neardup": _d7_sql(),
+        "d7b_simhash64_neardup": _d7b_sql(),
         "a6_regex_tag_count": _A6_SQL,
+        "s6_enrich_missing_weight": _S6_SQL,
         "f11_id_roundtrip": _F11_SQL,
         "f13_url_encoded_partition": _F13_SQL,
         "j5_zip_lists": _J5_SQL,
         "s1_ann_cosine_topk": _S1_SQL,
         "s2_ann_cosine_lsh": _s2_sql(),
         "s3_ann_cosine_ivf": _S3_SQL,
+        "s3b_ann_cosine_ivf_nprobe": _S3B_SQL,
+        # the kmeans fit is deterministic; the query persists the fitted
+        # centroids and the oracle replays assignment + rerank over them
+        "s4_ann_cosine_ivf_kmeans": _s4_sql(),
         "t1_text_profile": _t1_sql(),
         "m1_multimodal_features": _M1_SQL,
         # the replay query persists its generated log to a fixed parquet

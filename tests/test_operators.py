@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
-from panorama_elt_spark.operators import multimodal, nested, textdedup
+from panorama_elt_spark.operators import multimodal, nested, similarity, textdedup
 from panorama_elt_spark.sources.testdata import load_table
 
 
@@ -158,3 +158,57 @@ def test_register_and_drop_view(spark, tmp_path):
     import os
 
     assert not os.path.exists(t.root)
+
+
+def test_kmeans_assignment_paths_agree(spark, sf_dir):
+    """The O(k)-literal-expression argmin and the broadcast-join +
+    min(struct) argmin are the same function: identical centroids and
+    inertias at k=8 (and the auto switch picks join above k=16)."""
+    from panorama_elt_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c_lit, i_lit = similarity.kmeans_centroids(emb, k=8, iters=2, assign="literal")
+    c_join, i_join = similarity.kmeans_centroids(emb, k=8, iters=2, assign="join")
+    assert c_lit == c_join
+    assert i_lit == i_join
+    # the scale path also runs standalone at a k where literal would be
+    # a degenerate expression tree
+    c_big, i_big = similarity.kmeans_centroids(emb, k=24, iters=1, assign="auto")
+    assert len(c_big) == 24 and len(i_big) == 1
+
+
+def test_ivf_nprobe_recall_superset(spark, sf_dir):
+    """nprobe=2 probes a superset of nprobe=1's candidate lists, so per
+    query the nprobe=2 top-k cosine at any rank is >= the nprobe=1 one
+    (recall can only improve)."""
+    from panorama_elt_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    r1 = similarity.cosine_topk_ivf(emb, q, k=5, n_centroids=4, nprobe=1)
+    r2 = similarity.cosine_topk_ivf(emb, q, k=5, n_centroids=4, nprobe=2)
+    s1 = {(r["query_id"], r["rank"]): r["cos_sim"] for r in r1.collect()}
+    s2 = {(r["query_id"], r["rank"]): r["cos_sim"] for r in r2.collect()}
+    for key, sim1 in s1.items():
+        assert s2[key] >= sim1
+
+
+def test_simhash64_identical_and_disjoint(spark):
+    """64-bit fingerprints: identical docs have hamming 0 (and land in
+    every chunk bucket together); unrelated docs are far apart."""
+    from panorama_elt_spark.operators.textdedup import simhash64_df, simhash_near_dupes
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely unrelated legal boilerplate paragraph here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64_df(df, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    assert bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1") > 3
+    pairs = simhash_near_dupes(
+        df, "doc_id", "text", n_bits=64, n_chunks=4, max_hamming=3
+    ).collect()
+    assert {(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs} == {(1, 2, 0)}
