@@ -1,6 +1,7 @@
 """CLI — the ``panorama.py`` command surface re-expressed for the Spark
 engine (reference commands: ``panorama_elt.py:49-493``).
 
+    python -m panorama_elt_spark.cli extract-and-load --settings s.yaml [--datasource D] [--table T]
     python -m panorama_elt_spark.cli create-table     --root T --schema s.yaml
     python -m panorama_elt_spark.cli replay           --root T --log DIR [--batch-size N]
     python -m panorama_elt_spark.cli stream           --root T --log DIR --checkpoint C
@@ -51,6 +52,25 @@ def load_schema_yaml(path: str) -> tuple[TableSchema, list[str], int]:
         doc.get("schema_version", 1),
     )
     return schema, doc["key_cols"], doc.get("n_buckets", 64)
+
+
+def cmd_extract_and_load(args) -> int:
+    """The reference's flagship verb (``panorama_elt.py:101-146``):
+    settings YAML listing N datasources × tables → per-table extract →
+    raw lake landing → typed view. Per-table failures are reported in
+    the JSON summary; exit 1 if any failed."""
+    from .elt import extract_and_load, load_settings
+
+    spark = get_spark("panorama-extract-load")
+    results = extract_and_load(
+        spark,
+        load_settings(args.settings),
+        only_datasource=args.datasource,
+        only_table=args.table,
+        fail_fast=args.fail_fast,
+    )
+    print(json.dumps([r.to_dict() for r in results], indent=2))
+    return 0 if all(r.status == "loaded" for r in results) else 1
 
 
 def cmd_create_table(args) -> int:
@@ -207,6 +227,13 @@ def cmd_list_tables(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="panorama-elt-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract-and-load")
+    p.add_argument("--settings", required=True)
+    p.add_argument("--datasource", default=None, help="only this datasource")
+    p.add_argument("--table", default=None, help="only this table")
+    p.add_argument("--fail-fast", action="store_true")
+    p.set_defaults(fn=cmd_extract_and_load)
 
     p = sub.add_parser("create-table")
     p.add_argument("--root", required=True)

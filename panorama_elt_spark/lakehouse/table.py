@@ -274,6 +274,33 @@ class LakeTable:
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
 
+    def overwrite(self, df: DataFrame, *, properties: dict | None = None) -> Snapshot:
+        """Full-table replace — the extract-and-load landing path (the
+        reference re-uploads a table's partitions wholesale on each
+        extract, ``panorama_datalake.py:215-258``; at row grain that is
+        one atomic all-bucket swap). ``properties`` merge into the
+        snapshot (e.g. the declared field-type map the typed view uses).
+        """
+        snap = self.snapshot
+        new_version = snap.version + 1
+        new_files = self.write_bucket_files(df.select(*snap.schema.names), new_version)
+        props = dict(snap.properties)
+        props.update(properties or {})
+        new_snap = Snapshot(
+            version=new_version,
+            schema=snap.schema,
+            n_buckets=snap.n_buckets,
+            key_cols=snap.key_cols,
+            files=new_files,
+            last_lsn=snap.last_lsn,
+            committed_batches=list(snap.committed_batches),
+            lineage=list(snap.lineage),
+            schema_history=dict(snap.schema_history),
+            properties=props,
+        )
+        self.log.commit(new_snap, expected_parent=snap.version)
+        return new_snap
+
     def commit_replace_buckets(
         self,
         parent: Snapshot,
@@ -420,6 +447,20 @@ class LakeTable:
         """Register the current table state as a session temp view (the
         reference's raw-layer table registration)."""
         self.read().createOrReplaceTempView(name)
+
+    def register_typed_view(self, name: str) -> None:
+        """K5: register the typed (silver) view — per-column TRY-class
+        conversions over the all-string raw layer, driven by the declared
+        field-type map stored in the snapshot (set by extract-and-load);
+        columns without a declared type stay string (NULLIF semantics).
+        The reference's ``create_datalake_view`` analogue
+        (``panorama_datalake.py:372-415``)."""
+        from ..functions.typed_view import typed_view_columns
+
+        snap = self.snapshot
+        declared = snap.properties.get("field_types") or {}
+        field_types = {c: declared.get(c, "string") for c in snap.schema.names}
+        self.read().select(typed_view_columns(field_types)).createOrReplaceTempView(name)
 
     def drop_view(self, name: str) -> bool:
         """K6: drop a registered view (ref ``panorama_datalake.py``

@@ -116,12 +116,35 @@ def read_xls_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     for name, rows in raw.items():
         if not rows:
             continue  # headerless sheet: no table contract to honor
-        header_cells = rows[0]
-        n_cols = max(header_cells) + 1
-        names = [header_cells.get(i) or f"col{i}" for i in range(n_cols)]
+        # pandas-engine parity: column count is the widest row (data
+        # wider than the header gets Unnamed columns, never truncated),
+        # missing/empty headers become "Unnamed: {i}", duplicates get
+        # ".1"-style suffixes — so both engines agree on the same file.
+        n_cols = max(max(r, default=-1) for r in rows) + 1
+        names = _dedupe_headers(rows[0], n_cols)
         schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
         data = [
             tuple(r.get(i) for i in range(n_cols)) for r in rows[1 : ROW_CAP + 1]
         ]
         out[name] = spark.createDataFrame(data, schema)
     return out
+
+
+def _dedupe_headers(header_cells: dict[int, str | None], n_cols: int) -> list[str]:
+    """pandas-style header mangling: None/'' → ``Unnamed: {i}``,
+    duplicates → ``name.1``, ``name.2`` … (the mangled name is itself
+    kept collision-free)."""
+    names: list[str] = []
+    counts: dict[str, int] = {}
+    taken: set[str] = set()
+    for i in range(n_cols):
+        base = header_cells.get(i)
+        if base is None or base == "":
+            base = f"Unnamed: {i}"
+        name = base
+        while name in taken:
+            counts[base] = counts.get(base, 0) + 1
+            name = f"{base}.{counts[base]}"
+        taken.add(name)
+        names.append(name)
+    return names

@@ -1,0 +1,162 @@
+"""extract-and-load e2e: settings YAML with N datasources → per-table
+extract → raw lake landing → typed views (the reference's flagship
+command, panorama_elt.py:101-146)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import yaml
+from pyspark.sql import functions as F
+
+from panorama_elt_spark.elt import extract_and_load, load_settings
+from panorama_elt_spark.lakehouse import LakeTable
+from panorama_elt_spark.lakehouse.table import list_tables
+
+from test_sources_cli import _write_minimal_xlsx
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_fixtures(tmp_path) -> str:
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "people.csv").write_text(
+        "id,name,joined\n"
+        "1,alice,2024-01-02 03:04:05.000006\n"
+        "2,bob,2024-02-03 04:05:06.000007\n"
+        "3,NULL,2024-03-04 05:06:07.000008\n"
+    )
+    (tmp_path / "in" / "orders.csv").write_text(
+        "oid,pid,amount\n10,1,12.5\n11,2,not-a-number\n12,1,7.25\n"
+    )
+    _write_minimal_xlsx(str(tmp_path / "in" / "book.xlsx"))
+    settings = {
+        "datalake": {"base_dir": str(tmp_path / "lake"), "n_buckets": 4},
+        "datasources": [
+            {
+                "name": "ops_csv",
+                "type": "csv",
+                "tables": [
+                    {
+                        "name": "people",
+                        "location": str(tmp_path / "in" / "people.csv"),
+                        "key_cols": ["id"],
+                        "fields": [
+                            {"name": "id", "type": "INT"},
+                            {"name": "name", "type": "VARCHAR"},
+                            {"name": "joined", "type": "DATETIME"},
+                        ],
+                    },
+                    {
+                        "name": "orders",
+                        "location": str(tmp_path / "in" / "orders.csv"),
+                        "fields": [
+                            {"name": "oid", "type": "BIGINT"},
+                            {"name": "pid", "type": "INT"},
+                            {"name": "amount", "type": "FLOAT"},
+                        ],
+                    },
+                ],
+            },
+            {
+                "name": "books",
+                "type": "xlsx",
+                "location": str(tmp_path / "in" / "book.xlsx"),
+                "tables": [{"name": "users"}],
+            },
+        ],
+    }
+    path = str(tmp_path / "settings.yaml")
+    with open(path, "w") as fh:
+        yaml.safe_dump(settings, fh, sort_keys=False)
+    return path
+
+
+def test_extract_and_load_e2e(spark, tmp_path):
+    settings_path = _write_fixtures(tmp_path)
+    settings = load_settings(settings_path)
+    results = extract_and_load(spark, settings)
+    assert [(r.table, r.status) for r in results] == [
+        ("people", "loaded"), ("orders", "loaded"), ("users", "loaded"),
+    ]
+    # lake roots exist and are loadable tables
+    roots = list_tables(settings.base_dir)
+    assert sorted(os.path.basename(r) for r in roots) == ["orders", "people", "users"]
+    for root in roots:
+        LakeTable.load(spark, root)
+
+    # raw views: all-string contract
+    raw = spark.table("people_raw")
+    assert all(t == "string" for t in dict(raw.dtypes).values())
+
+    # typed views: declared conversions (K5 classes)
+    people = spark.table("people")
+    types = dict(people.dtypes)
+    assert types == {"id": "bigint", "name": "string", "joined": "timestamp"}
+    rows = {r["id"]: r for r in people.collect()}
+    assert rows[3]["name"] is None  # NULLIF(x, 'NULL')
+    assert rows[1]["joined"].microsecond == 6
+    orders = spark.table("orders")
+    assert dict(orders.dtypes)["amount"] == "double"
+    amounts = {r["oid"]: r["amount"] for r in orders.collect()}
+    assert amounts[11] is None  # TRY_CAST failure → NULL
+    assert amounts[10] == 12.5
+    # xlsx sheet landed without declared fields: string columns, data intact
+    users = spark.table("users")
+    assert {tuple(r) for r in users.collect()} == {("7", "alice"), (None, "bob")}
+
+    # re-running the extract is an idempotent replace, not an append
+    v_before = {r: LakeTable.load(spark, r).snapshot.version for r in roots}
+    results2 = extract_and_load(spark, settings)
+    assert all(r.status == "loaded" for r in results2)
+    for root in roots:
+        t = LakeTable.load(spark, root)
+        assert t.snapshot.version == v_before[root] + 1
+    assert spark.table("people").count() == 3
+
+    # a later session rebuilds the typed view from snapshot properties
+    spark.catalog.dropTempView("people")
+    t = LakeTable.load(spark, os.path.join(settings.base_dir, "people"))
+    t.register_typed_view("people")
+    assert dict(spark.table("people").dtypes)["joined"] == "timestamp"
+
+
+def test_extract_and_load_gates_jdbc_and_continues(spark, tmp_path):
+    settings_path = _write_fixtures(tmp_path)
+    with open(settings_path) as fh:
+        doc = yaml.safe_load(fh)
+    doc["datasources"].insert(0, {
+        "name": "prod_mysql",
+        "type": "jdbc",
+        "url": "jdbc:mysql://nowhere:3306/db",
+        "tables": [{"name": "auth_user"}],
+    })
+    with open(settings_path, "w") as fh:
+        yaml.safe_dump(doc, fh, sort_keys=False)
+    results = extract_and_load(spark, load_settings(settings_path))
+    by_table = {r.table: r for r in results}
+    assert by_table["auth_user"].status == "failed"
+    assert "JdbcUnavailable" in by_table["auth_user"].error
+    assert all(
+        r.status == "loaded" for t, r in by_table.items() if t != "auth_user"
+    )
+
+
+def test_extract_and_load_cli_verb(tmp_path):
+    """The CLI wiring end-to-end in a fresh process (spark-submit shape):
+    exit code, JSON summary, durable lake roots."""
+    settings_path = _write_fixtures(tmp_path)
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_MASTER="local[2]")
+    out = subprocess.run(
+        [sys.executable, "-m", "panorama_elt_spark.cli", "extract-and-load",
+         "--settings", settings_path, "--datasource", "ops_csv"],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout[out.stdout.index("["):])
+    assert {(r["table"], r["status"]) for r in payload} == {
+        ("people", "loaded"), ("orders", "loaded"),
+    }
+    base = str(tmp_path / "lake")
+    assert sorted(os.path.basename(r) for r in list_tables(base)) == ["orders", "people"]

@@ -209,3 +209,52 @@ def test_cli_end_to_end(tmp_path, spark):
     assert not os.path.exists(str(tmp_path / "T"))
     r = _run_cli(["list-tables", "--base-dir", "."], cwd)
     assert r.returncode == 0 and r.stdout.strip() == ""
+
+
+def test_xlsx_stdlib_ragged_and_duplicate_headers(spark, tmp_path):
+    """pandas-engine parity in the stdlib path: duplicate headers get .1
+    suffixes, empty/missing headers become Unnamed: i, and data rows
+    wider than the header are not truncated."""
+    import zipfile
+
+    from panorama_elt_spark.sources.xls_source import read_xls_tables
+
+    wb = (
+        '<?xml version="1.0"?><workbook '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="ragged" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    # header: x, x (dup), <empty>; data row 2 has FOUR cells (wider than header)
+    sheet1 = (
+        '<?xml version="1.0"?><worksheet '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>x</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>x</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t></t></is></c>'
+        "</row>"
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c>'
+        '<c r="C2"><v>3</v></c><c r="D2"><v>4</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = str(tmp_path / "ragged.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+    try:
+        import openpyxl  # noqa: F401 — pandas engine takes over; stdlib path untested
+
+        return
+    except ImportError:
+        pass
+    t = read_xls_tables(spark, path)["ragged"]
+    assert t.columns == ["x", "x.1", "Unnamed: 2", "Unnamed: 3"]
+    assert [tuple(r) for r in t.collect()] == [("1", "2", "3", "4")]
