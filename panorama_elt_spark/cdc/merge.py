@@ -264,13 +264,6 @@ def merge_batch(
         )
         .persist()
     )
-    # estimated serialized key width (string bytes + per-row overhead) —
-    # feeds the bytes-based broadcast budget of the winner prefilter
-    key_width = F.lit(16 * len(keys) + 8)
-    for c in keys:
-        key_width = key_width + F.coalesce(
-            F.octet_length(F.col(c).cast("string")), F.lit(0)
-        )
     per_bucket = {
         r["__b"]: r
         for r in per_key.groupBy(bucket_expr(keys, snap.n_buckets).alias("__b"))
@@ -280,7 +273,6 @@ def merge_batch(
             F.sum((F.col("__winop") == "D").cast("long")).alias("deletes"),
             F.min("__lsnlo").alias("lsn_lo"),
             F.max("__maxlsn").alias("lsn_hi"),
-            F.sum(key_width).alias("key_bytes"),
         )
         .collect()
     }
@@ -348,32 +340,39 @@ def merge_batch(
         # secondary row guard.
         rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
         n_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
-        key_bytes = int(sum(int(r["key_bytes"] or 0) for r in per_bucket.values()))
         prefilter_max = int(os.environ.get("PANORAMA_PREFILTER_MAX_KEYS", "4000000"))
         prefilter_max_bytes = int(
             os.environ.get("PANORAMA_PREFILTER_MAX_BYTES", str(256 << 20))
         )
+        # the broadcast carries 64-bit key *fingerprints*, so its size is
+        # exactly n_keys × ~32 B regardless of key width — a wide
+        # composite string key can no longer blow the driver past the
+        # byte budget
         if (
             0 < n_keys <= prefilter_max
-            and key_bytes <= prefilter_max_bytes
+            and n_keys * 32 <= prefilter_max_bytes
             and rows_in_total >= 2 * n_keys
         ):
-            # null-safe equi-join: NULL is a valid key value for groupBy,
-            # so the prefilter must not silently drop NULL-keyed events
-            # (all strategies would then disagree with each other). The
-            # winner side's key columns are aliased so the join condition
-            # is unambiguous; the lsn filter is null-safe too (a key whose
-            # every lsn is NULL keeps its rows and defers to max_by).
+            # Fingerprint semi-filter: events keep a row iff
+            # (xxhash64(keys), lsn) appears in the winner set. Safe by
+            # construction — the downstream max_by re-resolves exactly,
+            # so a hash collision only lets a harmless extra row through
+            # (and can never drop a winner: its own fingerprint is
+            # present). Null-safe: xxhash64 hashes NULL deterministically
+            # on both sides, so NULL-keyed events — valid groupBy keys —
+            # survive, and the lsn comparison is <=> (a key whose every
+            # lsn is NULL keeps its rows and defers to max_by). ~32 B per
+            # key beats broadcasting the key columns themselves by the
+            # key width, and the probe compares one long, not a composite
+            # string tuple.
+            kh = F.xxhash64(*[F.col(c) for c in keys])
             winners = per_key.select(  # already cached above
-                *[F.col(c).alias(f"__wk{i}") for i, c in enumerate(keys)], "__maxlsn"
+                F.xxhash64(*[F.col(c) for c in keys]).alias("__kh"), "__maxlsn"
             )
-            cond = F.col(keys[0]).eqNullSafe(F.col("__wk0"))
-            for i, c in enumerate(keys[1:], start=1):
-                cond = cond & F.col(c).eqNullSafe(F.col(f"__wk{i}"))
             events = (
-                events.join(F.broadcast(winners), on=cond)
+                events.join(F.broadcast(winners), on=kh == F.col("__kh"))
                 .filter(F.col(lsn_col).eqNullSafe(F.col("__maxlsn")))
-                .drop("__maxlsn", *[f"__wk{i}" for i in range(len(keys))])
+                .drop("__kh", "__maxlsn")
             )
             timer.lap("winner_prefilter_plan")
 
