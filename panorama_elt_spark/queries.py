@@ -978,7 +978,7 @@ def t1_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _t1_sql() -> str:
+def _t1_cte() -> str:
     scores = {
         lang: _sql_lang_score(words) for lang, words in text.LANG_STOPWORDS.items()
     }
@@ -1012,8 +1012,41 @@ p AS (
               ELSE {_sql_h56("text")} END AS fingerprint
   FROM sc
 )
-SELECT doc_id, lang_pred, n_tokens_ws, n_tokens_bpe, quality, fingerprint FROM p
 """
+
+
+def _t1_sql() -> str:
+    return (
+        _t1_cte()
+        + "SELECT doc_id, lang_pred, n_tokens_ws, n_tokens_bpe, quality, fingerprint FROM p"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — composed pipeline: quality gate → exact dedup (the standard
+# pre-training corpus-hygiene composition; operators chain as plain
+# DataFrame functions and Catalyst plans the whole pipeline as one job)
+# ---------------------------------------------------------------------------
+
+_T2_QUALITY_MIN = 0.5
+
+
+def t2_quality_gate_dedupe(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    prof = text.text_profile(docs, "doc_id", "text", "n_chars")
+    keep = prof.filter(F.col("quality") >= _T2_QUALITY_MIN).select("doc_id")
+    survivors = docs.join(keep, on="doc_id", how="left_semi")
+    return textdedup.exact_dedupe(survivors, "doc_id", "text")
+
+
+def _t2_sql() -> str:
+    return (
+        _t1_cte()
+        + f"""SELECT sha256(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM p WHERE quality >= {_T2_QUALITY_MIN})
+GROUP BY sha256(text)"""
+    )
 
 # ---------------------------------------------------------------------------
 # A6 — regex-match-count derived measure (the problem-weight heuristic,
@@ -1422,6 +1455,7 @@ def queries() -> dict[str, QueryFn]:
         "s3b_ann_cosine_ivf_nprobe": s3b_ann_cosine_ivf_nprobe,
         "s4_ann_cosine_ivf_kmeans": s4_ann_cosine_ivf_kmeans,
         "t1_text_profile": t1_text_profile,
+        "t2_quality_gate_dedupe": t2_quality_gate_dedupe,
         "m1_multimodal_features": m1_multimodal_features,
         "cdc_replay_state": cdc_replay_state,
         "cdc_stream_state": cdc_stream_state,
@@ -1465,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         # centroids and the oracle replays assignment + rerank over them
         "s4_ann_cosine_ivf_kmeans": _s4_sql(),
         "t1_text_profile": _t1_sql(),
+        "t2_quality_gate_dedupe": _t2_sql(),
         "m1_multimodal_features": _M1_SQL,
         # the replay query persists its generated log to a fixed parquet
         # path; the oracle re-derives the final state from that log
