@@ -76,6 +76,12 @@ class Snapshot:
     # every schema version ever active, for reading old data files
     schema_history: dict[int, TableSchema] = dc_field(default_factory=dict)
     properties: dict = dc_field(default_factory=dict)
+    # lineage rows spilled out of the document (oldest-first parquet
+    # files under _meta/lineage/, listed here so readers never pick up
+    # orphans from failed commits); the in-doc `lineage` list holds only
+    # the most recent rows — the snapshot document stays O(retention),
+    # not O(table lifetime)
+    lineage_files: list[str] = dc_field(default_factory=list)
 
     def __post_init__(self) -> None:
         self.schema_history.setdefault(self.schema.schema_version, self.schema)
@@ -97,6 +103,7 @@ class Snapshot:
                 "lineage": self.lineage,
                 "schema_history": {str(v): s.to_dict() for v, s in self.schema_history.items()},
                 "properties": self.properties,
+                "lineage_files": self.lineage_files,
                 "committed_at_unix": time.time(),
             },
             indent=1,
@@ -118,6 +125,7 @@ class Snapshot:
                 int(v): TableSchema.from_dict(s) for v, s in d.get("schema_history", {}).items()
             },
             properties=d.get("properties", {}),
+            lineage_files=d.get("lineage_files", []),
         )
 
 

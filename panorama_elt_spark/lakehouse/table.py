@@ -270,6 +270,7 @@ class LakeTable:
             lineage=list(snap.lineage),
             schema_history=dict(snap.schema_history),
             properties=dict(snap.properties),
+            lineage_files=list(snap.lineage_files),
         )
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
@@ -297,6 +298,7 @@ class LakeTable:
             lineage=list(snap.lineage),
             schema_history=dict(snap.schema_history),
             properties=props,
+            lineage_files=list(snap.lineage_files),
         )
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
@@ -313,26 +315,89 @@ class LakeTable:
         new_schema: TableSchema | None = None,
     ) -> Snapshot:
         """Atomic snapshot swap: files of ``replaced_buckets`` out, ``new_files``
-        in, plus checkpoint LSN / batch id / lineage in the same commit."""
+        in, plus checkpoint LSN / batch id / lineage in the same commit.
+
+        Metadata retention (the snapshot document must stay O(retention),
+        not O(table lifetime) — at streaming cadence a year of
+        minute-grain epochs × buckets would otherwise put tens of
+        millions of lineage rows into every version file):
+
+        * lineage rows beyond ``PANORAMA_LINEAGE_RETAIN`` (default 4096)
+          spill oldest-first to parquet under ``_meta/lineage/``; the
+          snapshot lists its spill files, so readers never pick up
+          orphans from failed commits, and ``lineage_df()`` folds spilled
+          + in-doc rows transparently.
+        * batch ids beyond ``PANORAMA_BATCHID_RETAIN`` (default 100 000)
+          age out oldest-first. Safe: ``CdcEngine.replay`` never
+          re-submits a batch at or below the LSN checkpoint, and
+          streaming epoch ids are monotonic per stream incarnation, so
+          only a recent window can ever recur — 100k ids covers any
+          plausible failure/retry horizon.
+        """
         kept = [f for f in parent.files if f.bucket not in replaced_buckets]
         schema = new_schema or parent.schema
         history = dict(parent.schema_history)
         history[schema.schema_version] = schema
+        new_version = parent.version + 1
+        lineage_all = list(parent.lineage) + (lineage_rows or [])
+        lineage_files = list(parent.lineage_files)
+        retain = int(os.environ.get("PANORAMA_LINEAGE_RETAIN", "4096"))
+        if len(lineage_all) > retain:
+            spilled = self._write_lineage_spill(lineage_all[:-retain], new_version)
+            lineage_files.append(spilled)
+            lineage_all = lineage_all[-retain:]
+        batches = list(parent.committed_batches) + ([batch_id] if batch_id else [])
+        retain_b = int(os.environ.get("PANORAMA_BATCHID_RETAIN", "100000"))
+        if len(batches) > retain_b:
+            batches = batches[-retain_b:]
         new_snap = Snapshot(
-            version=parent.version + 1,
+            version=new_version,
             schema=schema,
             n_buckets=parent.n_buckets,
             key_cols=parent.key_cols,
             files=kept + new_files,
             last_lsn=parent.last_lsn if last_lsn is None else last_lsn,
-            committed_batches=list(parent.committed_batches)
-            + ([batch_id] if batch_id else []),
-            lineage=list(parent.lineage) + (lineage_rows or []),
+            committed_batches=batches,
+            lineage=lineage_all,
             schema_history=history,
             properties=dict(parent.properties),
+            lineage_files=lineage_files,
         )
         self.log.commit(new_snap, expected_parent=parent.version)
         return new_snap
+
+    _LINEAGE_COLS = [
+        ("batch_id", "string"),
+        ("bucket", "int"),
+        ("lsn_lo", "long"),
+        ("lsn_hi", "long"),
+        ("rows_in", "long"),
+        ("rows_upserted", "long"),
+        ("rows_deleted", "long"),
+        ("snapshot_version", "long"),
+    ]
+
+    def _write_lineage_spill(self, rows: list[dict], version: int) -> str:
+        """Write aged-out lineage rows to one parquet file (driver-side —
+        the spill batch is at most one retention window). Returns the
+        root-relative path; the caller lists it in the snapshot, so a
+        file from a failed commit is simply never referenced."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_types = {"string": pa.string(), "int": pa.int32(), "long": pa.int64()}
+        schema = pa.schema([(n, pa_types[t]) for n, t in self._LINEAGE_COLS])
+        rel_dir = "_meta/lineage"
+        os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
+        rel = f"{rel_dir}/spill-v{version}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{n: r.get(n) for n, _ in self._LINEAGE_COLS} for r in rows],
+                schema=schema,
+            ),
+            os.path.join(self.root, rel),
+        )
+        return rel
 
     def alter_schema(self, new_schema: TableSchema) -> Snapshot:
         """Metadata-only schema change (no data rewrite)."""
@@ -350,6 +415,7 @@ class LakeTable:
             lineage=list(snap.lineage),
             schema_history=history,
             properties=dict(snap.properties),
+            lineage_files=list(snap.lineage_files),
         )
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
@@ -484,22 +550,27 @@ class LakeTable:
 
     def lineage_df(self) -> DataFrame:
         """Per-partition lineage rows (batch id, bucket, LSN range, row
-        counts, snapshot id) as a DataFrame — the engine's metrics table."""
+        counts, snapshot id) as a DataFrame — the engine's metrics table.
+        Folds aged-out rows from the snapshot's listed spill files with
+        the in-document tail, so retention is invisible to readers."""
         from pyspark.sql import types as T
 
+        spark_types = {
+            "string": T.StringType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+        }
         schema = T.StructType(
-            [
-                T.StructField("batch_id", T.StringType()),
-                T.StructField("bucket", T.IntegerType()),
-                T.StructField("lsn_lo", T.LongType()),
-                T.StructField("lsn_hi", T.LongType()),
-                T.StructField("rows_in", T.LongType()),
-                T.StructField("rows_upserted", T.LongType()),
-                T.StructField("rows_deleted", T.LongType()),
-                T.StructField("snapshot_version", T.LongType()),
-            ]
+            [T.StructField(n, spark_types[t]) for n, t in self._LINEAGE_COLS]
         )
+        snap = self.snapshot
         rows = [
-            tuple(r.get(f.name) for f in schema.fields) for r in self.snapshot.lineage
+            tuple(r.get(f.name) for f in schema.fields) for r in snap.lineage
         ]
-        return self.spark.createDataFrame(rows, schema)
+        recent = self.spark.createDataFrame(rows, schema)
+        if not snap.lineage_files:
+            return recent
+        spilled = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in snap.lineage_files]
+        )
+        return spilled.unionByName(recent)

@@ -129,3 +129,47 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert t.read(version=s1.version).count() == 1
     assert t.read().count() == 2
     assert t.vacuum() == 0  # appends never orphan files
+
+
+def test_lineage_spill_and_batchid_retention(spark, tmp_path, monkeypatch):
+    """The snapshot document stays O(retention): old lineage rows spill
+    to listed parquet files (lineage_df folds them back), and batch ids
+    age out oldest-first while the recent window still dedupes."""
+    from panorama_elt_spark.cdc import merge_batch
+    from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
+
+    monkeypatch.setenv("PANORAMA_LINEAGE_RETAIN", "2")
+    monkeypatch.setenv("PANORAMA_BATCHID_RETAIN", "3")
+    schema = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["repo", "path"], n_buckets=2)
+    total_rows = 0
+    for k in range(5):
+        batch = spark.createDataFrame(
+            [(k, "I", f"r{k}", f"p{k}", f"c{k}", "py", f"x{k}")],
+            "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
+        )
+        stats = merge_batch(t, batch, f"b{k}")
+        total_rows += stats.buckets_touched
+    snap = t.snapshot
+    assert len(snap.lineage) <= 2
+    assert snap.lineage_files  # something spilled
+    ldf = t.lineage_df()
+    assert ldf.count() == total_rows
+    assert {r["batch_id"] for r in ldf.collect()} == {f"b{k}" for k in range(5)}
+    # batch ids: oldest aged out, recent window still dedupes
+    assert len(snap.committed_batches) == 3
+    v = snap.version
+    assert merge_batch(t, spark.createDataFrame(
+        [(99, "I", "rx", "px", "cx", "py", "xx")],
+        "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
+    ), "b4").skipped
+    assert t.snapshot.version == v
