@@ -534,18 +534,21 @@ class LakeTable:
         return self.spark.catalog.dropTempView(name)
 
     def vacuum(self) -> int:
-        """Delete data files not referenced by the current snapshot.
-        Returns number of files removed. (Time travel to older versions
-        stops working for vacuumed files, as with Iceberg expire_snapshots.)"""
-        live = {os.path.join(self.root, f.path) for f in self.snapshot.files}
+        """Delete data files — and lineage spill files — not referenced
+        by the current snapshot. Returns number of files removed. (Time
+        travel to older versions stops working for vacuumed files, as
+        with Iceberg expire_snapshots.)"""
+        snap = self.snapshot
+        live = {os.path.join(self.root, f.path) for f in snap.files}
+        live |= {os.path.join(self.root, p) for p in snap.lineage_files}
         removed = 0
-        data_dir = os.path.join(self.root, "data")
-        for dirpath, _d, filenames in os.walk(data_dir):
-            for name in filenames:
-                path = os.path.join(dirpath, name)
-                if name.endswith(".parquet") and path not in live:
-                    os.remove(path)
-                    removed += 1
+        for sub in ("data", os.path.join("_meta", "lineage")):
+            for dirpath, _d, filenames in os.walk(os.path.join(self.root, sub)):
+                for name in filenames:
+                    path = os.path.join(dirpath, name)
+                    if name.endswith(".parquet") and path not in live:
+                        os.remove(path)
+                        removed += 1
         return removed
 
     def lineage_df(self) -> DataFrame:

@@ -173,3 +173,38 @@ def test_lineage_spill_and_batchid_retention(spark, tmp_path, monkeypatch):
         "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
     ), "b4").skipped
     assert t.snapshot.version == v
+
+
+def test_vacuum_removes_orphan_lineage_spills(spark, tmp_path, monkeypatch):
+    """A spill file written by a failed commit is unreferenced; vacuum
+    removes it while referenced spills survive and lineage_df is intact."""
+    import os as _os
+
+    from panorama_elt_spark.cdc import merge_batch
+    from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
+
+    monkeypatch.setenv("PANORAMA_LINEAGE_RETAIN", "1")
+    schema = TableSchema(
+        [Field(1, "repo", "string", False), Field(2, "path", "string", False),
+         Field(3, "commit", "string")],
+        schema_version=1,
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["repo"], n_buckets=2)
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(k, "I", f"r{k}", f"p{k}", f"c{k}")],
+            "lsn bigint, op string, repo string, path string, commit string",
+        )
+        merge_batch(t, batch, f"b{k}")
+    n_live = len(t.snapshot.lineage_files)
+    assert n_live >= 1
+    # plant an orphan (the residue of a failed commit)
+    orphan = _os.path.join(str(tmp_path / "t"), "_meta", "lineage", "spill-v99.parquet")
+    import shutil as _shutil
+    _shutil.copy(_os.path.join(str(tmp_path / "t"), t.snapshot.lineage_files[0]), orphan)
+    before = t.lineage_df().count()
+    removed = t.vacuum()
+    assert removed >= 1
+    assert not _os.path.exists(orphan)
+    assert len(t.snapshot.lineage_files) == n_live
+    assert t.lineage_df().count() == before

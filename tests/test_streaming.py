@@ -102,3 +102,27 @@ def test_checkpoint_reset_does_not_skip_epoch_zero(spark, tmp_path):
     q2 = stream_changelog_to_table(spark, log_dir, t, ckpt)
     q2.awaitTermination(120)
     assert _rows(t.read()) == _rows(expected_final_state(spark, spec))
+
+
+def test_stream_bounded_epochs_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch: a multi-file log
+    drains across several epochs (each its own exactly-once merge), and
+    the final state still matches the full-log LWW oracle."""
+    spec = ChangeLogSpec(n_events=2400, n_keys=150)
+    log = generate_change_log(spark, spec)
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    # several files so the trigger cap actually splits epochs
+    for lo in range(0, 2400, 600):
+        log.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + 600)).coalesce(1) \
+           .write.mode("append").parquet(log_dir)
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=8)
+    q = stream_changelog_to_table(
+        spark, log_dir, t, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+    # one merge commit per epoch (plus v0): > 2 epochs proves the cap bit
+    applied = [b for b in t.snapshot.committed_batches]
+    assert len(applied) >= 3
+    assert _rows(t.read()) == _rows(expected_final_state(spark, spec))
