@@ -508,3 +508,57 @@ def test_prefilter_is_null_key_safe(spark, tmp_path):
         key=lambda x: (x[0] is not None, x),
     )
     assert got == [(None, None, "c3"), ("r1", "a", "c6")]
+
+
+def test_prefilter_on_off_parity_nasty_log(spark, tmp_path, monkeypatch):
+    """The winner prefilter fires data-dependently, so its presence must
+    never change the result. Same nasty log (NULL keys, duplicate
+    deliveries, delete chains, out-of-order LSNs) merged with the
+    prefilter forced off vs on, under both CoW and merge-on-read —
+    all four states identical."""
+    nullable = TableSchema(
+        [
+            Field(1, "repo", "string", True),
+            Field(2, "path", "string", True),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    rows = [
+        (5, "U", None, "p", "c5", "py", "n5"),     # null repo, out of order
+        (1, "I", None, "p", "c1", "py", "n1"),
+        (3, "D", None, "p", None, None, None),
+        (7, "I", "r", None, "c7", "py", "m7"),     # null path
+        (7, "I", "r", None, "c7", "py", "m7"),     # duplicate delivery
+        (2, "I", "r", "p", "c2", "py", "x2"),
+        (9, "D", "r", "p", None, None, None),      # ends deleted
+        (4, "U", "s", "q", "c4", "py", "y4"),
+        (6, "U", "s", "q", "c6", "py", "y6"),
+        (8, "U", "s", "q", "c8", "py", "y8"),      # update chain
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
+    )
+    states = {}
+    for strategy in ("fused", "append_delta"):
+        for prefilter in (True, False):
+            monkeypatch.setenv(
+                "PANORAMA_PREFILTER_MAX_KEYS", "4000000" if prefilter else "0"
+            )
+            root = str(tmp_path / f"{strategy}_{prefilter}")
+            t = LakeTable.create(spark, root, nullable, ["repo", "path"], n_buckets=4)
+            merge_batch(t, log, "b0", strategy=strategy)
+            states[(strategy, prefilter)] = sorted(
+                ((r["repo"], r["path"], r["commit"], r["content"]) for r in t.read().collect()),
+                key=str,
+            )
+    expected = [
+        (None, "p", "c5", "n5"),
+        ("r", None, "c7", "m7"),
+        ("s", "q", "c8", "y8"),
+    ]
+    for state in states.values():
+        assert state == sorted(expected, key=str)
