@@ -2,11 +2,13 @@
 table, first row is the header, all columns string.
 
 Two engines: pandas' excel reader when an engine library (openpyxl/
-xlrd) is installed, else a stdlib XLSX parser (an .xlsx file is a zip
-of spreadsheetml XML — ``zipfile`` + ``ElementTree`` cover the
-reference's contract: sheet enumeration, shared strings, inline
-strings, numeric cells, all values surfaced as strings). Legacy binary
-.xls still needs xlrd and stays gated.
+xlrd) is installed, else stdlib parsers for BOTH formats — ``.xlsx``
+via ``zipfile`` + ``ElementTree`` (spreadsheetml), legacy binary
+``.xls`` via the BIFF8/CFB parser in ``xls_biff.py``. Both cover the
+reference's contract (sheet enumeration, shared strings, inline
+strings, numeric cells, all values surfaced as strings); ``.xls``
+features outside the BIFF8 subset (encryption, BIFF5, CONTINUE-spanning
+strings) stay gated with a precise reason.
 
 Data volume is driver-scale by nature (the reference caps at 10^6
 rows/sheet, ``xls_datasource.py:111``), so parse-on-driver →
@@ -107,11 +109,28 @@ def read_xls_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         engineless = isinstance(exc, ImportError) or "engine" in str(exc)
         if not engineless:
             raise
-        if not path.lower().endswith(".xlsx"):
+    if path.lower().endswith(".xlsx"):
+        raw = _read_xlsx_stdlib(path)
+    else:
+        # legacy binary .xls: stdlib BIFF8/CFB parser (xls_biff.py); the
+        # unsupported-feature subset (encryption, BIFF5, CONTINUE-spanning
+        # strings) stays gated with a precise reason
+        from .xls_biff import XlsBiffUnsupported, read_xls_biff
+
+        try:
+            with open(path, "rb") as fh:
+                raw = read_xls_biff(fh.read())
+        except XlsBiffUnsupported as exc:
             raise XlsUnavailable(
-                "legacy .xls needs the xlrd engine; .xlsx works engine-free"
-            ) from None
-    raw = _read_xlsx_stdlib(path)
+                f"legacy .xls feature outside the stdlib BIFF8 subset "
+                f"({exc}); install xlrd for full coverage"
+            ) from exc
+    return _sheets_to_dataframes(spark, raw)
+
+
+def _sheets_to_dataframes(
+    spark: SparkSession, raw: dict[str, list[dict[int, str | None]]]
+) -> dict[str, DataFrame]:
     out = {}
     for name, rows in raw.items():
         if not rows:

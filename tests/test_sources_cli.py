@@ -258,3 +258,68 @@ def test_xlsx_stdlib_ragged_and_duplicate_headers(spark, tmp_path):
     t = read_xls_tables(spark, path)["ragged"]
     assert t.columns == ["x", "x.1", "Unnamed: 2", "Unnamed: 3"]
     assert [tuple(r) for r in t.collect()] == [("1", "2", "3", "4")]
+
+
+def _xls_engine_is_stdlib() -> bool:
+    try:
+        import xlrd  # noqa: F401 — pandas engine takes over for .xls
+
+        return False
+    except ImportError:
+        return True
+
+
+def test_xls_biff_stdlib_minifat(spark, tmp_path):
+    """S9 legacy binary .xls: a real BIFF8-in-CFB workbook (miniFAT
+    storage — the natural layout for small files) parses with the
+    stdlib reader: sheets, shared strings, RK ints, NUMBER doubles."""
+    from biff_fixture import write_xls
+
+    from panorama_elt_spark.sources.xls_source import read_xls_tables
+
+    path = str(tmp_path / "t.xls")
+    write_xls(path, {
+        "users": [["id", "name"], [7, "alice"], [-3, "bob"], [2.5, None]],
+        "extra": [["k"], ["v1"]],
+    })
+    if not _xls_engine_is_stdlib():
+        return
+    tables = read_xls_tables(spark, path)
+    assert set(tables) == {"users", "extra"}
+    users = tables["users"]
+    assert users.columns == ["id", "name"]
+    assert all(t == "string" for t in dict(users.dtypes).values())
+    assert {tuple(r) for r in users.collect()} == {
+        ("7", "alice"), ("-3", "bob"), ("2.5", None),
+    }
+    assert [tuple(r) for r in tables["extra"].collect()] == [("v1",)]
+
+
+def test_xls_biff_stdlib_fat_storage(spark, tmp_path):
+    """Same workbook stored through the main FAT (stream >= 4096 B)."""
+    from biff_fixture import write_xls
+
+    from panorama_elt_spark.sources.xls_source import read_xls_tables
+
+    path = str(tmp_path / "big.xls")
+    write_xls(path, {"users": [["id", "name"], [1, "x"], [2, "y"]]}, pad_to_fat=True)
+    if not _xls_engine_is_stdlib():
+        return
+    users = read_xls_tables(spark, path)["users"]
+    assert {tuple(r) for r in users.collect()} == {("1", "x"), ("2", "y")}
+
+
+def test_xls_biff_gates_unsupported(spark, tmp_path):
+    """Out-of-subset .xls features fail with the precise gated error,
+    never a mis-parse."""
+    import pytest as _pytest
+
+    from panorama_elt_spark.sources.xls_source import XlsUnavailable, read_xls_tables
+
+    path = str(tmp_path / "bad.xls")
+    with open(path, "wb") as fh:
+        fh.write(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 504)
+    if not _xls_engine_is_stdlib():
+        return
+    with _pytest.raises(XlsUnavailable):
+        read_xls_tables(spark, path)
