@@ -122,6 +122,37 @@ def test_extract_and_load_e2e(spark, tmp_path):
     assert dict(spark.table("people").dtypes)["joined"] == "timestamp"
 
 
+def test_extract_and_load_legacy_xls(spark, tmp_path):
+    """A legacy .xls datasource lands through the stdlib BIFF8 path."""
+    try:
+        import xlrd  # noqa: F401 — pandas engine takes over; stdlib path untested
+
+        return
+    except ImportError:
+        pass
+    from biff_fixture import write_xls
+
+    xls_path = str(tmp_path / "legacy.xls")
+    write_xls(xls_path, {"metrics": [["day", "count"], ["mon", 4], ["tue", 7]]})
+    settings_doc = {
+        "datalake": {"base_dir": str(tmp_path / "lake"), "n_buckets": 2},
+        "datasources": [
+            {"name": "old_books", "type": "xls", "location": xls_path,
+             "tables": [{"name": "metrics",
+                         "fields": [{"name": "day", "type": "VARCHAR"},
+                                    {"name": "count", "type": "INT"}]}]},
+        ],
+    }
+    spath = str(tmp_path / "s.yaml")
+    with open(spath, "w") as fh:
+        yaml.safe_dump(settings_doc, fh)
+    results = extract_and_load(spark, load_settings(spath))
+    assert [(r.table, r.status) for r in results] == [("metrics", "loaded")]
+    typed = spark.table("metrics")
+    assert dict(typed.dtypes) == {"day": "string", "count": "bigint"}
+    assert {tuple(r) for r in typed.collect()} == {("mon", 4), ("tue", 7)}
+
+
 def test_extract_and_load_gates_jdbc_and_continues(spark, tmp_path):
     settings_path = _write_fixtures(tmp_path)
     with open(settings_path) as fh:

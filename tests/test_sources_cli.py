@@ -323,3 +323,42 @@ def test_xls_biff_gates_unsupported(spark, tmp_path):
         return
     with _pytest.raises(XlsUnavailable):
         read_xls_tables(spark, path)
+
+
+def test_xls_biff_roundtrip_property():
+    """Property: any sheet of latin-1 strings / 30-bit ints / simple
+    doubles survives the BIFF8 write→parse round trip cell-exactly
+    (parse-level — no Spark needed, so hypothesis can afford examples)."""
+    from hypothesis import given, settings, strategies as st
+
+    from biff_fixture import write_xls, workbook_stream, cfb_container
+    from panorama_elt_spark.sources.xls_biff import read_xls_biff
+
+    text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=12
+    )
+    cell = st.one_of(
+        st.none(),
+        text,
+        st.integers(min_value=-(2**29), max_value=2**29 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    )
+    rows = st.lists(st.lists(cell, min_size=1, max_size=5), min_size=1, max_size=6)
+
+    def expect(v):
+        if v is None or isinstance(v, str):
+            return v
+        f = float(v)
+        return str(int(f)) if f.is_integer() and abs(f) < 1e15 else repr(f)
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows=rows)
+    def roundtrip(rows):
+        blob = cfb_container(workbook_stream({"s": rows}))
+        parsed = read_xls_biff(blob)["s"]
+        for r, row in enumerate(rows):
+            got = parsed[r] if r < len(parsed) else {}
+            for c, v in enumerate(row):
+                assert got.get(c) == expect(v), (r, c, v, got.get(c))
+
+    roundtrip()
