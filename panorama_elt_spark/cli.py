@@ -10,6 +10,7 @@ engine (reference commands: ``panorama_elt.py:49-493``).
     python -m panorama_elt_spark.cli test-connections --root T [--log DIR]
     python -m panorama_elt_spark.cli vacuum           --root T
     python -m panorama_elt_spark.cli compact          --root T
+    python -m panorama_elt_spark.cli expire-snapshots --root T [--keep-last N] [--vacuum]
     python -m panorama_elt_spark.cli drop-table       --root T
     python -m panorama_elt_spark.cli list-tables      --base-dir DIR
 
@@ -206,6 +207,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_expire_snapshots(args) -> int:
+    """Iceberg expire_snapshots analogue: bound the snapshot log, then
+    vacuum the newly orphaned data files."""
+    spark = get_spark("panorama-expire")
+    table = LakeTable.load(spark, args.root)
+    expired = table.expire_snapshots(keep_last=args.keep_last)
+    orphans = table.vacuum() if args.vacuum else 0
+    print(f"expired {expired} snapshots"
+          + (f", removed {orphans} orphan files" if args.vacuum else ""))
+    return 0
+
+
 def cmd_drop_table(args) -> int:
     """K6 (ref ``panorama_elt.py:252-280`` drop-datalake-tables)."""
     spark = get_spark("panorama-drop")
@@ -280,6 +293,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact")
     p.add_argument("--root", required=True)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("expire-snapshots")
+    p.add_argument("--root", required=True)
+    p.add_argument("--keep-last", type=int, default=10)
+    p.add_argument("--vacuum", action="store_true",
+                   help="also delete data files orphaned by the expiry")
+    p.set_defaults(fn=cmd_expire_snapshots)
 
     p = sub.add_parser("drop-table")
     p.add_argument("--root", required=True)

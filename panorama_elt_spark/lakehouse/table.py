@@ -533,6 +533,29 @@ class LakeTable:
         drop-datalake-views). Returns whether the view existed."""
         return self.spark.catalog.dropTempView(name)
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Delete snapshot documents older than the newest ``keep_last``
+        (the Iceberg ``expire_snapshots`` analogue — the snapshot log
+        would otherwise grow one document per commit forever). Time
+        travel and change feeds to expired versions end; data and
+        lineage-spill files only they referenced become orphans that
+        ``vacuum()`` then removes. The current version is always kept."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.snapshot.version
+        removed = 0
+        for name in os.listdir(self.log.meta_dir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v <= cur - keep_last:
+                os.remove(os.path.join(self.log.meta_dir, name))
+                removed += 1
+        return removed
+
     def vacuum(self) -> int:
         """Delete data files — and lineage spill files — not referenced
         by the current snapshot. Returns number of files removed. (Time

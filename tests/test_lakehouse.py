@@ -208,3 +208,40 @@ def test_vacuum_removes_orphan_lineage_spills(spark, tmp_path, monkeypatch):
     assert not _os.path.exists(orphan)
     assert len(t.snapshot.lineage_files) == n_live
     assert t.lineage_df().count() == before
+
+
+def test_expire_snapshots_bounds_log(spark, tmp_path):
+    """Old snapshot documents age out (time travel to them ends); the
+    current state is untouched and vacuum reclaims the orphaned files."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from panorama_elt_spark.cdc import merge_batch
+    from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [Field(1, "repo", "string", False), Field(2, "path", "string", False),
+         Field(3, "commit", "string")],
+        schema_version=1,
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["repo"], n_buckets=2)
+    for k in range(4):
+        merge_batch(t, spark.createDataFrame(
+            [(k, "U", "r0", "p0", f"c{k}")],
+            "lsn bigint, op string, repo string, path string, commit string",
+        ), f"b{k}")
+    assert t.snapshot.version == 4
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == 3  # v0, v1, v2 gone; v3, v4 kept
+    state = sorted(tuple(r) for r in t.read().collect())
+    assert state == [("r0", "p0", "c3")]
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=1).collect()
+    orphans = t.vacuum()
+    assert orphans >= 1  # v<=2-only data files reclaimed
+    assert sorted(tuple(r) for r in t.read().collect()) == state
+    # expiry never removes the current version even with keep_last=1
+    t.expire_snapshots(keep_last=1)
+    assert _os.path.exists(_os.path.join(str(tmp_path / "t"), "_meta", "v4.json"))
+    assert sorted(tuple(r) for r in t.read().collect()) == state
