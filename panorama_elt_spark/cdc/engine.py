@@ -23,6 +23,7 @@ constant-column ``value:`` semantics, ``mysql_datasource.py:194-202``).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field as dc_field
 
@@ -30,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..lakehouse.schema import TableSchema, diff_schemas, spark_type
 from ..lakehouse.table import LakeTable
-from .merge import MergeStats, merge_batch
+from .merge import BatchStats, MergeStats, batch_events, compute_batch_stats, merge_batch
 
 
 @dataclass
@@ -113,7 +114,9 @@ class CdcEngine:
             self.table.alter_schema(target)
             cur = target
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: str) -> MergeStats:
+    def apply_batch(
+        self, batch_df: DataFrame, batch_id: str, stats: BatchStats | None = None
+    ) -> MergeStats:
         snap = self.table.snapshot
         if self.registry:
             max_v = batch_df.agg(F.max("schema_version")).collect()[0][0]
@@ -128,6 +131,7 @@ class CdcEngine:
             batch_id,
             pre_dedupe=self.pre_dedupe,
             strategy=self.strategy,
+            stats=stats,
         )
 
     def replay(
@@ -139,7 +143,22 @@ class CdcEngine:
     ) -> ReplayReport:
         """Tail the log from the table's checkpoint to ``max_lsn`` in
         aligned batches. Resumable: killing the process between batches
-        and calling replay() again converges to the identical state."""
+        and calling replay() again converges to the identical state.
+
+        **Stats prefetch.** A batch's slim stats aggregate ends in a
+        driver collect — a per-batch fixed cost that does not shrink
+        with executors. Batch stats depend only on the batch's own LSN
+        range of the log, never on table state, so batch k+1's stats
+        job runs on a background thread while batch k's merge job
+        writes; the serial path per batch is one merge job + one
+        commit. Concurrent Spark jobs from two threads share the
+        context safely (separate job groups in the FIFO scheduler).
+        Disabled when a schema registry is set (conform depends on the
+        evolving table schema), when a standalone ``pre_dedupe`` is
+        forced, or via ``PANORAMA_PREFETCH_STATS=0``. Produces
+        byte-identical state either way — the prefetched aggregate is
+        the exact same plan over the exact same rows.
+        """
         t0 = time.monotonic()
         report = ReplayReport()
         if max_lsn is None:
@@ -147,22 +166,64 @@ class CdcEngine:
             if max_lsn is None:
                 return report
         start_lsn = self.table.snapshot.last_lsn + 1
-        k = start_lsn // batch_size
-        while k * batch_size <= max_lsn:
+        ks = list(range(start_lsn // batch_size, max_lsn // batch_size + 1))
+        prefetch = (
+            self.pre_dedupe is None
+            and not self.registry
+            and os.environ.get("PANORAMA_PREFETCH_STATS", "1") != "0"
+            and len(ks) > 1
+        )
+        # without a registry the schema/keys/buckets are constant across
+        # the replay — capture once so the prefetch thread never races a
+        # snapshot commit
+        snap0 = self.table.snapshot
+
+        def batch_for(k: int) -> DataFrame:
             lo, hi = k * batch_size, (k + 1) * batch_size - 1
-            batch_id = f"b{k}@{batch_size}"
-            batch = log_df.filter((F.col(lsn_col) >= lo) & (F.col(lsn_col) <= hi))
-            stats = self.apply_batch(batch, batch_id)
-            report.batches.append(stats)
-            if not stats.skipped:
-                report.events_read += min(hi, max_lsn) - max(lo, start_lsn) + 1
-                self._applied_since_compact += 1
-                if (
-                    self.compact_every
-                    and self._applied_since_compact >= self.compact_every
-                ):
-                    self.table.compact()
-                    self._applied_since_compact = 0
-            k += 1
+            return log_df.filter((F.col(lsn_col) >= lo) & (F.col(lsn_col) <= hi))
+
+        def stats_for(k: int) -> BatchStats:
+            return compute_batch_stats(
+                batch_events(batch_for(k), snap0, lsn_col=lsn_col),
+                snap0,
+                lsn_col=lsn_col,
+            )
+
+        pool = fut = None
+        if prefetch:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="cdc-stats-prefetch"
+            )
+        try:
+            for i, k in enumerate(ks):
+                lo, hi = k * batch_size, (k + 1) * batch_size - 1
+                batch_id = f"b{k}@{batch_size}"
+                stats = fut.result() if fut is not None else None
+                fut = None
+                if pool is not None and i + 1 < len(ks):
+                    fut = pool.submit(stats_for, ks[i + 1])
+                mstats = self.apply_batch(batch_for(k), batch_id, stats)
+                report.batches.append(mstats)
+                if not mstats.skipped:
+                    report.events_read += min(hi, max_lsn) - max(lo, start_lsn) + 1
+                    self._applied_since_compact += 1
+                    if (
+                        self.compact_every
+                        and self._applied_since_compact >= self.compact_every
+                    ):
+                        self.table.compact()
+                        self._applied_since_compact = 0
+        finally:
+            if fut is not None:
+                # a merge failure mid-loop must not leak the in-flight
+                # prefetch's cached aggregate
+                try:
+                    fut.result().per_key.unpersist()
+                except Exception:
+                    pass
+            if pool is not None:
+                pool.shutdown(wait=True)
         report.wall_secs = time.monotonic() - t0
         return report

@@ -27,10 +27,22 @@ Physical plan — ONE shuffle per batch, tuned for 10^10-event scale:
    serving pruning, lineage and the winner set) replay throughput rose
    398k → 764k ev/s on the round-1 bench config.
    Skipped automatically when the winner set exceeds the broadcast
-   budget (bytes-based, ``PANORAMA_PREFILTER_MAX_BYTES``, measured key
-   widths; ``PANORAMA_PREFILTER_MAX_KEYS`` as a row guard) or
+   budget: the broadcast carries fixed 64-bit key *fingerprints*, so
+   the budget is n_keys × ~32 B regardless of key width
+   (``PANORAMA_PREFILTER_MAX_BYTES``, default 256 MiB;
+   ``PANORAMA_PREFILTER_MAX_KEYS`` as a secondary row guard) — or when
    duplication is < 2×. The prefilter join is null-safe (NULL is a
    valid key value), so every strategy sees the same event set.
+0b. **Stats off the critical path.** The slim per-key aggregate ends in
+   a driver ``collect`` barrier — a *fixed cost per batch* that does
+   not shrink with executors (measured: under ``local-cluster[1→4]``
+   the engine captured 1.68× of the ceiling's 2.51× speedup; the
+   residual was exactly these per-batch constants). Batch stats depend
+   only on the batch's own events, never on table state, so
+   ``CdcEngine.replay`` computes batch k+1's stats concurrently with
+   batch k's merge+write (``compute_batch_stats`` + the ``stats=``
+   parameter below): the serial path per batch is one merge job + one
+   commit; the stats job overlaps the previous write.
 2. **Exchange = bucket layout.** The aggregate's exchange is forced to
    ``n_buckets`` partitions with AQE coalescing off, so shuffle
    partition id == ``pmod(hash(keys), n_buckets)`` == storage bucket id
@@ -117,6 +129,70 @@ class MergeStats:
 
 
 _STRATEGIES = {"auto", "fused", "bucket_local", "append_delta"}
+
+
+@dataclass
+class BatchStats:
+    """Slim per-key/per-bucket statistics of one batch (the three-consumer
+    aggregate: pruning, lineage, winner-prefilter set). ``per_key`` is a
+    cached DataFrame; whoever consumes the stats must unpersist it
+    (``merge_batch`` always does, including on the skipped path)."""
+
+    per_key: DataFrame
+    per_bucket: dict
+
+
+def batch_events(batch_df: DataFrame, snap, op_col: str = "op", lsn_col: str = "lsn") -> DataFrame:
+    """The merge's canonical event projection for a batch — shared by
+    ``merge_batch`` and the stats prefetch so both sides aggregate the
+    exact same rows."""
+    keys = snap.key_cols
+    payload_cols = [c for c in snap.schema.names if c not in keys]
+    return batch_df.select(
+        *keys, *payload_cols, F.col(op_col), F.col(lsn_col).cast("long")
+    )
+
+
+def compute_batch_stats(
+    events: DataFrame, snap, op_col: str = "op", lsn_col: str = "lsn"
+) -> BatchStats:
+    """ONE slim aggregate over (keys, op, lsn) serving three consumers:
+    affected-bucket discovery (pruning), per-bucket lineage stats
+    (collected: <= n_buckets rows), and — cached — the winner set for
+    the prefilter, so the merge job never re-scans the raw batch for
+    it. Exact key counts come free (the groupBy is per key anyway).
+    ``__winop`` is the *outcome* op per key (the max-LSN event's op), so
+    lineage counts outcomes, not raw delete events: a D→U chain is one
+    upsert, a multi-D chain is one delete.
+
+    Depends only on the batch's events — never on table state — so it
+    is safe to run ahead of time, overlapped with the previous batch's
+    merge job (see ``CdcEngine.replay``).
+    """
+    keys = snap.key_cols
+    per_key = (
+        events.groupBy(*keys)
+        .agg(
+            F.max(lsn_col).alias("__maxlsn"),
+            F.min(lsn_col).alias("__lsnlo"),
+            F.count("*").alias("__cnt"),
+            F.max_by(F.col(op_col), F.col(lsn_col)).alias("__winop"),
+        )
+        .persist()
+    )
+    per_bucket = {
+        r["__b"]: r
+        for r in per_key.groupBy(bucket_expr(keys, snap.n_buckets).alias("__b"))
+        .agg(
+            F.sum("__cnt").alias("rows_in"),
+            F.count("*").alias("keys"),
+            F.sum((F.col("__winop") == "D").cast("long")).alias("deletes"),
+            F.min("__lsnlo").alias("lsn_lo"),
+            F.max("__maxlsn").alias("lsn_hi"),
+        )
+        .collect()
+    }
+    return BatchStats(per_key=per_key, per_bucket=per_bucket)
 
 
 def _resolve_requested_strategy(arg: str) -> str:
@@ -230,52 +306,30 @@ def merge_batch(
     lsn_col: str = "lsn",
     pre_dedupe=None,
     strategy: str = "auto",
+    stats: BatchStats | None = None,
 ) -> MergeStats:
     timer = _Timer()
     snap = table.snapshot
     if batch_id in snap.committed_batches:
         # exactly-once guard: deterministic batch id already applied
+        if stats is not None:
+            stats.per_key.unpersist()
         return MergeStats(batch_id=batch_id, skipped=True, snapshot_version=snap.version)
+    if stats is not None and pre_dedupe is not None:
+        raise ValueError("precomputed stats cannot be combined with pre_dedupe")
 
     keys = snap.key_cols
     data_cols = snap.schema.names
     payload_cols = [c for c in data_cols if c not in keys]
 
-    events = batch_df.select(*keys, *payload_cols, F.col(op_col), F.col(lsn_col).cast("long"))
+    events = batch_events(batch_df, snap, op_col, lsn_col)
     if pre_dedupe is not None:
         # compat/bench path: explicit standalone dedupe before the merge
         events = pre_dedupe(events, keys, lsn_col)
 
-    # ONE slim aggregate over (keys, op, lsn) serves three consumers:
-    # affected-bucket discovery (pruning), per-bucket lineage stats
-    # (collected: <= n_buckets rows), and -- cached -- the winner set for
-    # the prefilter, so the merge job never re-scans the raw batch for
-    # it. Exact key counts come free (the groupBy is per key anyway).
-    # __winop is the *outcome* op per key (the max-LSN event's op), so
-    # lineage counts outcomes, not raw delete events: a D→U chain is one
-    # upsert, a multi-D chain is one delete.
-    per_key = (
-        events.groupBy(*keys)
-        .agg(
-            F.max(lsn_col).alias("__maxlsn"),
-            F.min(lsn_col).alias("__lsnlo"),
-            F.count("*").alias("__cnt"),
-            F.max_by(F.col(op_col), F.col(lsn_col)).alias("__winop"),
-        )
-        .persist()
-    )
-    per_bucket = {
-        r["__b"]: r
-        for r in per_key.groupBy(bucket_expr(keys, snap.n_buckets).alias("__b"))
-        .agg(
-            F.sum("__cnt").alias("rows_in"),
-            F.count("*").alias("keys"),
-            F.sum((F.col("__winop") == "D").cast("long")).alias("deletes"),
-            F.min("__lsnlo").alias("lsn_lo"),
-            F.max("__maxlsn").alias("lsn_hi"),
-        )
-        .collect()
-    }
+    if stats is None:
+        stats = compute_batch_stats(events, snap, op_col, lsn_col)
+    per_key, per_bucket = stats.per_key, stats.per_bucket
     timer.lap("stats_agg")
     affected = set(per_bucket)
     if not affected:

@@ -6,7 +6,9 @@ engine (reference commands: ``panorama_elt.py:49-493``).
     python -m panorama_elt_spark.cli replay           --root T --log DIR [--batch-size N]
     python -m panorama_elt_spark.cli stream           --root T --log DIR --checkpoint C
     python -m panorama_elt_spark.cli table-info       --root T
+    python -m panorama_elt_spark.cli set-tables       --settings s.yaml [--datasource D] [--tables a,b]
     python -m panorama_elt_spark.cli set-tables-fields --parquet F --out s.yaml
+    python -m panorama_elt_spark.cli create-views     --base-dir DIR
     python -m panorama_elt_spark.cli test-connections --root T [--log DIR]
     python -m panorama_elt_spark.cli vacuum           --root T
     python -m panorama_elt_spark.cli compact          --root T
@@ -166,6 +168,36 @@ def cmd_set_tables_fields(args) -> int:
     return 0
 
 
+def cmd_set_tables(args) -> int:
+    """Update the settings file's ``tables:`` sections from datasource
+    discovery (ref ``set-tables``, ``panorama_elt.py:346-407``)."""
+    from .elt import set_tables
+
+    spark = get_spark("panorama-set-tables")
+    written = set_tables(
+        spark,
+        args.settings,
+        only_datasource=args.datasource,
+        only_tables=args.tables.split(",") if args.tables else None,
+    )
+    print(json.dumps(written, indent=2))
+    print(f"{args.settings} updated")
+    return 0
+
+
+def cmd_create_views(args) -> int:
+    """Rebuild raw + typed views for every lake table under a base dir
+    (ref ``create-table-views``, ``panorama_elt.py:283-343``)."""
+    from .elt import create_views
+
+    spark = get_spark("panorama-create-views")
+    views = create_views(spark, args.base_dir)
+    for v in views:
+        print(f"view {v} (+ {v}_raw)")
+    print(f"{len(views)} tables registered")
+    return 0
+
+
 def cmd_test_connections(args) -> int:
     """Smoke checks (reference ``test-connections``,
     ``panorama_elt.py:473-493``): Spark session, table readability,
@@ -274,6 +306,16 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("table-info")
     p.add_argument("--root", required=True)
     p.set_defaults(fn=cmd_table_info)
+
+    p = sub.add_parser("set-tables")
+    p.add_argument("--settings", required=True)
+    p.add_argument("--datasource", default=None, help="only this datasource")
+    p.add_argument("--tables", default=None, help="comma-separated allow-list")
+    p.set_defaults(fn=cmd_set_tables)
+
+    p = sub.add_parser("create-views")
+    p.add_argument("--base-dir", required=True)
+    p.set_defaults(fn=cmd_create_views)
 
     p = sub.add_parser("set-tables-fields")
     p.add_argument("--parquet", required=True)

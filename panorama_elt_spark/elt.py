@@ -39,6 +39,14 @@ Settings YAML (descendant of the reference settings file, SURVEY §1.3):
         url: jdbc:mysql://host:3306/db
         tables:
           - {name: auth_user, partition_column: id}
+      - name: modulestore
+        type: mongo                  # nested-document collection (the
+        uri: mongodb://host:27017    # reference's course-structures
+        database: edxapp             # shape); live read gated behind
+        collection: modulestore.structures  # MongoUnavailable —
+        location: /in/structures_parquet    # 'location:' is the
+        tables:                             # offline nested-doc path
+          - {name: course_blocks, key_cols: [course_id, block_id]}
 """
 
 from __future__ import annotations
@@ -117,7 +125,16 @@ def extract_table(spark: SparkSession, ds: dict, tbl: dict) -> DataFrame:
         if tbl.get("partition_column"):
             kwargs["partition_column"] = tbl["partition_column"]
         return src.read_table(tbl["name"], **kwargs)
-    raise ValueError(f"unknown datasource type {kind!r} (csv | xlsx | jdbc)")
+    if kind == "mongo":
+        # the reference's course-structures pipeline as one declarative
+        # plan: $exists scan (S5) → block flatten → parent attribute
+        # copy-down (J4), ref course_structures_datasource.py:160-197,
+        # 263-438; the scan itself is gated/offline via read_mongo_docs
+        from .operators.nested import fill_parent_attrs, filter_published, flatten_blocks
+        from .sources.mongo_source import read_mongo_docs
+
+        return fill_parent_attrs(flatten_blocks(filter_published(read_mongo_docs(spark, ds))))
+    raise ValueError(f"unknown datasource type {kind!r} (csv | xlsx | jdbc | mongo)")
 
 
 def land_table(
@@ -162,6 +179,82 @@ def land_table(
         raw, properties={"field_types": dict(field_types or {})}
     )
     return table, sum(f.rows for f in snap.files)
+
+
+def discover_tables(spark: SparkSession, ds: dict) -> list[str]:
+    """S3 per datasource type: the table list the source itself reports
+    (ref ``get_tables`` duck-typed protocol, ``panorama_elt.py:77-98``).
+    xlsx/xls workbooks enumerate their sheets; JDBC queries the live
+    catalog (gated); csv/mongo tables are their declared entries (a csv
+    table IS a located file; a mongo collection lands as one flattened
+    table), so discovery confirms rather than extends them."""
+    kind = (ds.get("type") or "").lower()
+    if kind in ("xlsx", "xls"):
+        return sorted(read_xls_tables(spark, ds["location"]))
+    if kind == "jdbc":
+        return JdbcSource(
+            spark,
+            url=ds["url"],
+            user=ds.get("user", ""),
+            password=ds.get("password", ""),
+            properties=ds.get("properties") or {},
+        ).get_tables()
+    if kind in ("csv", "mongo"):
+        return [t["name"] for t in ds.get("tables") or []]
+    raise ValueError(f"unknown datasource type {kind!r} (csv | xlsx | jdbc | mongo)")
+
+
+def set_tables(
+    spark: SparkSession,
+    settings_path: str,
+    *,
+    only_datasource: str | None = None,
+    only_tables: list[str] | None = None,
+) -> dict[str, list[str]]:
+    """Update a settings file's ``tables:`` sections from datasource
+    discovery (ref ``set-tables``, ``panorama_elt.py:346-407``). The
+    reference *wipes* each list down to bare ``{name}`` entries ("use
+    with care"); here a discovered table that already has an entry keeps
+    its declared config (fields, key_cols), so the verb composes with
+    ``set-tables-fields`` instead of destroying its output. Returns the
+    written table list per datasource; round-trips ``load_settings``."""
+    import yaml
+
+    with open(settings_path) as fh:
+        doc = yaml.safe_load(fh)
+    written: dict[str, list[str]] = {}
+    for ds in doc.get("datasources") or []:
+        if only_datasource and ds.get("name") != only_datasource:
+            continue
+        names = discover_tables(spark, ds)
+        if only_tables:
+            names = [n for n in names if n in only_tables]
+        existing = {t["name"]: t for t in ds.get("tables") or []}
+        ds["tables"] = [existing.get(n, {"name": n}) for n in names]
+        written[ds.get("name", "?")] = names
+    with open(settings_path, "w") as fh:
+        yaml.safe_dump(doc, fh, sort_keys=False)
+    load_settings(settings_path)  # fail loudly if the rewrite broke the file
+    return written
+
+
+def create_views(spark: SparkSession, base_dir: str) -> list[str]:
+    """Rebuild the raw + typed views of every lake table under
+    ``base_dir`` (ref ``create-table-views``, ``panorama_elt.py:283-343``).
+    The declared field-type map lives in each table's snapshot, so a
+    brand-new session needs exactly this one call — no settings file."""
+    import os
+
+    from .lakehouse.table import list_tables
+
+    views: list[str] = []
+    for root in list_tables(base_dir):
+        name = os.path.basename(root.rstrip("/"))
+        table = LakeTable.load(spark, root)
+        table.register_view(f"{name}_raw")
+        table.register_typed_view(name)
+        views.append(name)
+    return views
 
 
 def extract_and_load(

@@ -136,18 +136,32 @@ class LakeTable:
         resolves the winner per key, delete markers drop. A compacted
         table (no deltas) reads with zero shuffle, exactly as before."""
         snap = self.snapshot if version is None else self.log.read_version(version)
+        return self._read_state(snap, snap, buckets, with_deltas)
+
+    def _read_state(
+        self,
+        snap: Snapshot,
+        proj: Snapshot,
+        buckets: set[int] | None = None,
+        with_deltas: bool = True,
+    ) -> DataFrame:
+        """``snap``'s row state projected onto ``proj``'s schema (the
+        field-id mapper reads any file under any historical schema, so
+        ``proj`` may be a *newer* snapshot than ``snap`` — the cross-
+        schema-epoch read ``changes()`` uses). ``proj.schema_history``
+        must cover every file's schema_version; any later snapshot does
+        (history accumulates monotonically)."""
         files = snap.files if buckets is None else snap.files_in_buckets(buckets)
-        target_struct = snap.schema.to_struct()
-        base = self._read_mapped(snap, [f for f in files if f.kind == "base"])
+        base = self._read_mapped(proj, [f for f in files if f.kind == "base"])
         delta_files = [f for f in files if f.kind == "delta"]
         if not delta_files or not with_deltas:
             return base
-        deltas = self._read_mapped(snap, delta_files, with_delta_cols=True)
+        deltas = self._read_mapped(proj, delta_files, with_delta_cols=True)
         tagged = base.withColumn("__op", F.lit("E")).withColumn(
             "__lsn", F.lit(-1).cast("long")
         )
-        keys = snap.key_cols
-        payload = [c for c in snap.schema.names if c not in keys]
+        keys = proj.key_cols
+        payload = [c for c in proj.schema.names if c not in keys]
         winner = F.max_by(
             F.struct(*[F.col(c) for c in payload], F.col("__op")), F.col("__lsn")
         ).alias("__w")
@@ -381,7 +395,13 @@ class LakeTable:
         """Write aged-out lineage rows to one parquet file (driver-side —
         the spill batch is at most one retention window). Returns the
         root-relative path; the caller lists it in the snapshot, so a
-        file from a failed commit is simply never referenced."""
+        file from a failed commit is simply never referenced. The name
+        carries a per-attempt random suffix: two writers racing for
+        version N must not share a path, or the CAS loser could
+        overwrite the winner's committed, referenced spill file —
+        ``vacuum`` reaps the loser's orphan instead."""
+        import uuid
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -389,7 +409,7 @@ class LakeTable:
         schema = pa.schema([(n, pa_types[t]) for n, t in self._LINEAGE_COLS])
         rel_dir = "_meta/lineage"
         os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
-        rel = f"{rel_dir}/spill-v{version}.parquet"
+        rel = f"{rel_dir}/spill-v{version}-{uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(
             pa.Table.from_pylist(
                 [{n: r.get(n) for n, _ in self._LINEAGE_COLS} for r in rows],
@@ -450,21 +470,32 @@ class LakeTable:
         Scale: the scan is pruned to ``changed_buckets`` — buckets whose
         file sets are identical cannot differ and are never read — and
         both sides are bucket-aligned states, so the join shuffles only
-        the touched fraction of the table once per side."""
+        the touched fraction of the table once per side.
+
+        Schema epochs: when the two snapshots carry different schema
+        versions, both sides are projected onto the **newer** schema via
+        the field-id mapper (rename-aware; added columns backfill their
+        declared default) and the diff is taken there — so a change-feed
+        consumer survives an ALTER mid-stream instead of erroring (the
+        reference edits the settings YAML and re-runs mid-pipeline,
+        ``panorama_elt.py:409-470``). A metadata-only ALTER by itself
+        emits no rows (file sets unchanged ⇒ identical projections);
+        rows whose *projection* changed — e.g. upserted under the new
+        schema — emit U."""
         snap = self.snapshot if to_version is None else self.log.read_version(to_version)
         snap_from = self.log.read_version(from_version)
-        if snap_from.schema.schema_version != snap.schema.schema_version:
-            raise ValueError(
-                "changes() across schema versions is not defined: every row's "
-                "projection changed; diff within one schema epoch"
-            )
-        keys = snap.key_cols
-        payload = [c for c in snap.schema.names if c not in keys]
+        proj = (
+            snap
+            if snap.schema.schema_version >= snap_from.schema.schema_version
+            else snap_from
+        )
+        keys = proj.key_cols
+        payload = [c for c in proj.schema.names if c not in keys]
         touched = self.changed_buckets(from_version, to_version)
-        old = self.read(version=from_version, buckets=touched).select(
+        old = self._read_state(snap_from, proj, touched).select(
             *keys, F.struct(*payload).alias("__old")
         )
-        new = self.read(version=to_version, buckets=touched).select(
+        new = self._read_state(snap, proj, touched).select(
             *keys, F.struct(*payload).alias("__new")
         )
         j = old.join(new, on=list(keys), how="full_outer")
@@ -557,13 +588,23 @@ class LakeTable:
         return removed
 
     def vacuum(self) -> int:
-        """Delete data files — and lineage spill files — not referenced
-        by the current snapshot. Returns number of files removed. (Time
-        travel to older versions stops working for vacuumed files, as
-        with Iceberg expire_snapshots.)"""
-        snap = self.snapshot
-        live = {os.path.join(self.root, f.path) for f in snap.files}
-        live |= {os.path.join(self.root, p) for p in snap.lineage_files}
+        """Delete data files — and lineage spill files — referenced by
+        NO remaining snapshot document. The live set is the union over
+        every ``v*.json`` still in the log (not just the current one),
+        so ``expire_snapshots(keep_last=N)`` + ``vacuum()`` removes only
+        what the expiry orphaned and time travel to every *retained*
+        version keeps working. Returns number of files removed."""
+        live: set[str] = set()
+        for name in os.listdir(self.log.meta_dir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            snap = self.log.read_version(v)
+            live |= {os.path.join(self.root, f.path) for f in snap.files}
+            live |= {os.path.join(self.root, p) for p in snap.lineage_files}
         removed = 0
         for sub in ("data", os.path.join("_meta", "lineage")):
             for dirpath, _d, filenames in os.walk(os.path.join(self.root, sub)):

@@ -1418,6 +1418,97 @@ FROM j WHERE change_op IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# CDC change feed across a schema epoch — the feed survives an ALTER
+# mid-stream (ref analogue: the settings YAML changes between runs,
+# ``panorama_elt.py:409-470``): batch 1 lands at schema v1, the v2
+# events (add `stars`) trigger the catalog-diff ALTER, batch 2 lands,
+# and changes() diffs both snapshots projected to the *newer* schema by
+# field id (v1-state rows backfill stars with its declared default).
+# Oracle: the same two LWW replays in DuckDB with the projection rule
+# written out (stars = event stars for v2 winners, default 0 for v1).
+# ---------------------------------------------------------------------------
+
+def _cdc_changes_evo_root() -> str:
+    return _scratch_root("cdc_changes_evo")
+
+
+def cdc_changes_schema_evo(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    v1 = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    v2 = TableSchema(v1.fields + [Field(6, "stars", "int", default=0)], schema_version=2)
+    spec = ChangeLogSpec(n_events=20_000, n_keys=1_500, schema_v2_from_lsn=10_000)
+    log = generate_change_log(spark, spec)
+    root = _cdc_changes_evo_root()
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    table = LakeTable.create(
+        spark, os.path.join(root, "repos"), v1, ["repo", "path"], n_buckets=16
+    )
+    engine = CdcEngine(table, schema_registry={1: v1, 2: v2})
+    engine.replay(log, batch_size=10_000, max_lsn=9_999)  # pure-v1 epoch
+    v_first = table.snapshot.version
+    engine.replay(log, batch_size=10_000)  # v2 events → ALTER + apply
+    assert table.snapshot.schema.schema_version == 2
+    return table.changes(v_first).select(
+        "repo",
+        "path",
+        "change_op",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("content_digest"),
+        "stars",
+    )
+
+
+def _cdc_changes_evo_sql() -> str:
+    state = """
+  SELECT repo, path, commit, lang, content,
+         CASE WHEN schema_version = 2 THEN stars ELSE 0 END AS stars
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM ev {where}
+  ) WHERE rn = 1 AND op <> 'D'
+"""
+    return f"""
+WITH ev AS (SELECT DISTINCT lsn, op, repo, path, commit, lang, content,
+                   schema_version, stars
+            FROM read_parquet('{_cdc_changes_evo_root()}/log/*.parquet')),
+sa AS ({state.format(where="WHERE lsn < 10000")}),
+sb AS ({state.format(where="")}),
+j AS (
+  SELECT coalesce(sa.repo, sb.repo) AS repo, coalesce(sa.path, sb.path) AS path,
+         CASE WHEN sa.repo IS NULL THEN 'I'
+              WHEN sb.repo IS NULL THEN 'D'
+              WHEN sa.commit IS DISTINCT FROM sb.commit
+                OR sa.lang IS DISTINCT FROM sb.lang
+                OR sa.content IS DISTINCT FROM sb.content
+                OR sa.stars IS DISTINCT FROM sb.stars THEN 'U' END AS change_op,
+         sb.commit AS commit, sb.lang AS lang, sb.content AS content,
+         sb.stars AS stars
+  FROM sa FULL JOIN sb ON sa.repo = sb.repo AND sa.path = sb.path
+)
+SELECT repo, path, change_op, commit, lang, sha256(content) AS content_digest,
+       stars
+FROM j WHERE change_op IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1460,6 +1551,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_replay_state": cdc_replay_state,
         "cdc_stream_state": cdc_stream_state,
         "cdc_changes_feed": cdc_changes_feed,
+        "cdc_changes_schema_evo": cdc_changes_schema_evo,
     }
 
 
@@ -1506,4 +1598,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": _cdc_sql(),
         "cdc_stream_state": _cdc_stream_sql(),
         "cdc_changes_feed": _cdc_changes_sql(),
+        "cdc_changes_schema_evo": _cdc_changes_evo_sql(),
     }

@@ -14,8 +14,10 @@ Cluster sizing knobs (pass via ``extra_conf`` on a real deployment):
 * table ``n_buckets``: size so one bucket's rewrite fits an executor
   comfortably (~16k buckets ⇒ ~6 GB/bucket at 100 TB).
 * ``PANORAMA_PREFILTER_MAX_BYTES`` (default 256 MiB): winner-broadcast
-  budget in measured key bytes; ``PANORAMA_PREFILTER_MAX_KEYS`` is a
-  secondary row guard. Keep the bytes budget well under driver memory.
+  budget; the broadcast carries fixed 64-bit key fingerprints, so it
+  budgets n_keys × ~32 B regardless of key width.
+  ``PANORAMA_PREFILTER_MAX_KEYS`` is a secondary row guard. Keep the
+  bytes budget well under driver memory.
 """
 
 from __future__ import annotations

@@ -71,6 +71,18 @@ class JdbcSource:
                 f"JDBC read of {table} failed (driver jar present? host reachable?): {exc}"
             ) from exc
 
+    def get_tables(self) -> list[str]:
+        """S3 for JDBC: the table list of the connected database (the
+        reference's ``SHOW TABLES``, ``mysql_datasource.py:126-135``) —
+        read through ``information_schema`` so it pushes down as one
+        tiny query. Gated like every live read (``JdbcUnavailable``
+        without a driver jar)."""
+        df = self.read_table(
+            "(SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = DATABASE()) AS t"
+        )
+        return sorted(r[0] for r in df.collect())
+
     def incremental_scan(
         self, table: str, ts_col: str, lookback: str, **kwargs
     ) -> DataFrame:

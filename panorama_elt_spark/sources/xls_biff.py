@@ -52,7 +52,16 @@ def _cfb_open_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     ``names``, following FAT or miniFAT chains as its size dictates."""
     if data[:8] != _CFB_MAGIC:
         raise XlsBiffUnsupported("not an OLE2 compound file")
+    # the layout below (sector 0 at byte 512, stream size = low dword) is
+    # the v3 layout; gate v4 (4096-byte sectors, 64-bit stream sizes)
+    # explicitly instead of relying on garbage reads to raise
+    major = struct.unpack_from("<H", data, 26)[0]
     ssz = 1 << struct.unpack_from("<H", data, 30)[0]
+    if major != 3 or ssz != 512:
+        raise XlsBiffUnsupported(
+            f"CFB major version {major} with {ssz}-byte sectors "
+            "(only v3 / 512-byte sectors implemented)"
+        )
     mssz = 1 << struct.unpack_from("<H", data, 32)[0]
     dir_start = struct.unpack_from("<i", data, 48)[0]
     mini_cutoff = struct.unpack_from("<I", data, 56)[0]

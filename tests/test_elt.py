@@ -174,6 +174,125 @@ def test_extract_and_load_gates_jdbc_and_continues(spark, tmp_path):
     )
 
 
+def test_extract_and_load_mongo_nested(spark, tmp_path):
+    """A mongo-type datasource (the reference's course-structures shape,
+    course_structures_datasource.py:143-197) lands its nested collection
+    through filter_published → flatten_blocks → fill_parent_attrs into a
+    lake table via the offline nested-parquet path."""
+    from panorama_elt_spark.operators.nested import (
+        fill_parent_attrs, filter_published, flatten_blocks, generate_course_docs,
+    )
+
+    docs_dir = str(tmp_path / "structures")
+    generate_course_docs(spark, n_courses=12).write.parquet(docs_dir)
+    settings_doc = {
+        "datalake": {"base_dir": str(tmp_path / "lake"), "n_buckets": 4},
+        "datasources": [
+            {"name": "modulestore", "type": "mongo", "location": docs_dir,
+             "tables": [{"name": "course_blocks",
+                         "key_cols": ["course_id", "block_id"]}]},
+        ],
+    }
+    spath = str(tmp_path / "s.yaml")
+    with open(spath, "w") as fh:
+        yaml.safe_dump(settings_doc, fh)
+    results = extract_and_load(spark, load_settings(spath))
+    assert [(r.table, r.status) for r in results] == [("course_blocks", "loaded")]
+    blocks = spark.table("course_blocks")
+    expected = fill_parent_attrs(
+        flatten_blocks(filter_published(spark.read.parquet(docs_dir)))
+    )
+    got = {
+        (r["course_id"], r["block_id"], r["level"], r["chapter_name"])
+        for r in blocks.collect()
+    }
+    exp = {
+        (r["course_id"], r["block_id"], str(r["level"]), r["chapter_name"])
+        for r in expected.collect()
+    }
+    assert got == exp and len(got) > 0
+    # S5 semantics survived the landing: unpublished courses are absent
+    n_published = filter_published(spark.read.parquet(docs_dir)).count()
+    assert 0 < n_published < 12
+    assert blocks.select("course_id").distinct().count() == n_published
+
+
+def test_extract_and_load_gates_mongo_live(spark, tmp_path):
+    """Without a nested-parquet location the live connector path is
+    gated with a precise MongoUnavailable (no connector jar here), and
+    the loop continues — the JdbcUnavailable contract, mirrored."""
+    settings_doc = {
+        "datalake": {"base_dir": str(tmp_path / "lake"), "n_buckets": 2},
+        "datasources": [
+            {"name": "modulestore", "type": "mongo",
+             "uri": "mongodb://nowhere:27017", "database": "edxapp",
+             "collection": "modulestore.structures",
+             "tables": [{"name": "course_blocks"}]},
+        ],
+    }
+    spath = str(tmp_path / "s.yaml")
+    with open(spath, "w") as fh:
+        yaml.safe_dump(settings_doc, fh)
+    results = extract_and_load(spark, load_settings(spath))
+    assert [(r.table, r.status) for r in results] == [("course_blocks", "failed")]
+    assert "MongoUnavailable" in results[0].error
+
+
+def test_set_tables_updates_settings(spark, tmp_path):
+    """set-tables (ref panorama_elt.py:346-407): discovery refreshes the
+    settings tables: section in place — new workbook sheets appear as
+    bare entries, an existing entry keeps its declared config, and the
+    rewritten file round-trips load_settings → extract_and_load."""
+    from panorama_elt_spark.elt import set_tables
+
+    settings_path = _write_fixtures(tmp_path)
+    with open(settings_path) as fh:
+        doc = yaml.safe_load(fh)
+    # the books datasource declares only one of the workbook's sheets,
+    # with extra per-table config that must survive discovery
+    books = next(d for d in doc["datasources"] if d["name"] == "books")
+    books["tables"] = [{"name": "users", "key_cols": ["id"]}]
+    with open(settings_path, "w") as fh:
+        yaml.safe_dump(doc, fh, sort_keys=False)
+
+    written = set_tables(spark, settings_path, only_datasource="books")
+    with open(settings_path) as fh:
+        after = yaml.safe_load(fh)
+    books_after = next(d for d in after["datasources"] if d["name"] == "books")
+    names = [t["name"] for t in books_after["tables"]]
+    assert names == written["books"] and "users" in names
+    users_entry = next(t for t in books_after["tables"] if t["name"] == "users")
+    assert users_entry.get("key_cols") == ["id"]  # config preserved
+    # untouched datasource keeps its section verbatim
+    assert next(d for d in after["datasources"] if d["name"] == "ops_csv") == next(
+        d for d in yaml.safe_load(open(settings_path).read())["datasources"]
+        if d["name"] == "ops_csv"
+    )
+    results = extract_and_load(spark, load_settings(settings_path))
+    assert all(r.status == "loaded" for r in results)
+
+
+def test_create_views_fresh_session(spark, tmp_path):
+    """create-views (ref create_table_views, panorama_elt.py:283-343):
+    a brand-new session rebuilds raw + typed views for every table under
+    the lake base_dir from snapshot-stored field types — one call, no
+    settings file."""
+    from panorama_elt_spark.elt import create_views
+
+    settings_path = _write_fixtures(tmp_path)
+    settings = load_settings(settings_path)
+    extract_and_load(spark, settings)
+    fresh = spark.newSession()  # temp views are per-session: starts empty
+    assert not fresh.catalog.tableExists("people")
+    views = create_views(fresh, settings.base_dir)
+    assert sorted(views) == ["orders", "people", "users"]
+    assert dict(fresh.table("people").dtypes) == {
+        "id": "bigint", "name": "string", "joined": "timestamp"
+    }
+    assert all(t == "string" for t in dict(fresh.table("people_raw").dtypes).values())
+    assert fresh.table("orders").count() == 3
+
+
 def test_extract_and_load_cli_verb(tmp_path):
     """The CLI wiring end-to-end in a fresh process (spark-submit shape):
     exit code, JSON summary, durable lake roots."""

@@ -245,3 +245,74 @@ def test_expire_snapshots_bounds_log(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert _os.path.exists(_os.path.join(str(tmp_path / "t"), "_meta", "v4.json"))
     assert sorted(tuple(r) for r in t.read().collect()) == state
+
+
+def test_changes_across_schema_epochs(spark, tmp_path):
+    """changes() spans an ALTER (ref analogue: the settings YAML changes
+    mid-stream, ``panorama_elt.py:409-470``): both sides project to the
+    newer schema by field id. A metadata-only ALTER emits no rows; rows
+    upserted under the new schema emit I/U carrying the new column, with
+    the old side's missing column backfilled from its declared default."""
+    from panorama_elt_spark.cdc import merge_batch
+    from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
+
+    v1 = TableSchema(
+        [Field(1, "repo", "string", False), Field(2, "path", "string"),
+         Field(3, "commit", "string")],
+        schema_version=1,
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), v1, ["repo"], n_buckets=4)
+    merge_batch(t, spark.createDataFrame(
+        [(0, "I", "r0", "p0", "c0"), (1, "I", "r1", "p1", "c1")],
+        "lsn bigint, op string, repo string, path string, commit string",
+    ), "b0")
+    v_base = t.snapshot.version
+    v2 = TableSchema(
+        [Field(1, "repo", "string", False), Field(2, "path", "string"),
+         Field(3, "commit", "string"), Field(4, "stars", "bigint", default=7)],
+        schema_version=2,
+    )
+    t.alter_schema(v2)
+    # metadata-only ALTER: identical projections, empty feed
+    assert t.changes(v_base).count() == 0
+    merge_batch(t, spark.createDataFrame(
+        [(2, "U", "r1", "p1", "c9", 9), (3, "I", "r2", "p2", "c2", 3)],
+        "lsn bigint, op string, repo string, path string, commit string, stars bigint",
+    ), "b1")
+    feed = {r["repo"]: r for r in t.changes(v_base).collect()}
+    assert set(feed) == {"r1", "r2"}  # r0 untouched, never emitted
+    assert (feed["r1"]["change_op"], feed["r1"]["commit"], feed["r1"]["stars"]) == ("U", "c9", 9)
+    assert (feed["r2"]["change_op"], feed["r2"]["stars"]) == ("I", 3)
+    # reversed orientation projects to the same (newer) schema
+    back = {r["repo"]: r for r in t.changes(t.snapshot.version, v_base).collect()}
+    assert back["r2"]["change_op"] == "D"
+    assert back["r1"]["stars"] == 7  # v_base state under v2's default
+
+
+def test_vacuum_preserves_retained_noncurrent_snapshots(spark, tmp_path):
+    """vacuum's live set spans every remaining snapshot document, so
+    expire(keep_last=N) + vacuum keeps time travel working for all N
+    retained versions — not just the current one."""
+    from panorama_elt_spark.cdc import merge_batch
+    from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [Field(1, "repo", "string", False), Field(2, "path", "string", False),
+         Field(3, "commit", "string")],
+        schema_version=1,
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["repo"], n_buckets=2)
+    for k in range(4):
+        merge_batch(t, spark.createDataFrame(
+            [(k, "U", "r0", "p0", f"c{k}")],
+            "lsn bigint, op string, repo string, path string, commit string",
+        ), f"b{k}")
+    t.expire_snapshots(keep_last=2)  # v3 and v4 survive
+    assert t.vacuum() >= 1  # v<=2-only files reclaimed
+    # the retained NON-current version still reads (its files are live)
+    assert [tuple(r) for r in t.read(version=3).collect()] == [("r0", "p0", "c2")]
+    assert [tuple(r) for r in t.read().collect()] == [("r0", "p0", "c3")]
+    # and the change feed between the two retained versions still works
+    assert [
+        (r["repo"], r["change_op"], r["commit"]) for r in t.changes(3).collect()
+    ] == [("r0", "U", "c3")]

@@ -325,6 +325,24 @@ def test_xls_biff_gates_unsupported(spark, tmp_path):
         read_xls_tables(spark, path)
 
 
+def test_xls_biff_gates_cfb_v4():
+    """A CFB v4 container (4096-byte sectors) is reported as the
+    explicit unsupported-version gate, not a garbled 'malformed
+    structure' from mis-placed sector reads (parse-level, no Spark)."""
+    import struct
+
+    import pytest as _pytest
+
+    from biff_fixture import cfb_container, workbook_stream
+    from panorama_elt_spark.sources.xls_biff import XlsBiffUnsupported, read_xls_biff
+
+    blob = bytearray(cfb_container(workbook_stream({"s": [["a"]]})))
+    struct.pack_into("<H", blob, 26, 4)  # major version 4
+    struct.pack_into("<H", blob, 30, 12)  # 4096-byte sector shift
+    with _pytest.raises(XlsBiffUnsupported, match="CFB major version 4"):
+        read_xls_biff(bytes(blob))
+
+
 def test_xls_biff_roundtrip_property():
     """Property: any sheet of latin-1 strings / 30-bit ints / simple
     doubles survives the BIFF8 write→parse round trip cell-exactly
