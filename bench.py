@@ -34,6 +34,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float]:
     from panorama_elt_spark import queries as Q
+    from panorama_elt_spark.caching import persist_scope
     from panorama_elt_spark.session import get_spark
 
     spark = get_spark(
@@ -45,13 +46,14 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float]:
     total = 0.0
     for name, fn in Q.queries().items():
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        # operators register their persist barriers with the scope; exit
+        # releases them, so queries never pin each other's executor memory
+        with persist_scope():
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
         total += dt
-        # queries persist() intermediate barriers; release between queries
-        spark.catalog.clearCache()
     spark.stop()
     return timings, total
 

@@ -20,3 +20,7 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .caching import persist_scope, track_persist
+
+__all__ = ["persist_scope", "track_persist"]

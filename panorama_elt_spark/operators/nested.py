@@ -28,6 +28,8 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..caching import track_persist
+
 DOC_SCHEMA = (
     "course_id string, "
     "versions struct<published_branch string, draft_branch string>, "
@@ -134,12 +136,12 @@ def fill_parent_attrs(
     *_name columns are the block's ancestors at tree levels 0-3 (null
     where the block is above that depth).
     """
-    attrs = blocks_flat.select(
+    attrs = track_persist(blocks_flat.select(
         "course_id", "block_id", "block_type", "display_name"
-    ).persist()
+    ))
     # referenced once per level — without the barrier the source explode
     # re-runs max_depth times
-    edges = child_edges(blocks_flat).persist()
+    edges = track_persist(child_edges(blocks_flat))
     cur = attrs.filter(F.col("block_type") == root_type).select(
         "course_id",
         "block_id",

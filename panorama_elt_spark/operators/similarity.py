@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..caching import track_persist
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -44,12 +46,12 @@ def cosine_topk(
     # into the broadcast-join projection they re-evaluate per (query,
     # corpus-row) pair — |q|× redundant work over the whole corpus. At
     # warehouse scale the normalized projection is a persisted table.
-    c = corpus.select(
+    c = track_persist(corpus.select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv"))).persist()
-    q = queries.select(
+    ).withColumn("cn", norm(F.col("cv"))))
+    q = track_persist(queries.select(
         F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"))).persist()
+    ).withColumn("qn", norm(F.col("qv"))))
     sim = (
         c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -139,8 +141,8 @@ def embedding_neardup_pairs(
             ],
         )
         .withColumn("nrm", norm(F.col("v")))
-        .persist()
     )
+    base = track_persist(base)
     buckets = base.select(
         "vec_id",
         F.explode(
@@ -360,7 +362,7 @@ def ivf_cells(
 ) -> DataFrame:
     """IVF coarse quantization of the corpus (every vector in exactly
     one cell). Returns (vid, v, nrm, cid)."""
-    c = _prep_vecs(corpus, id_col, vec_col).persist()
+    c = track_persist(_prep_vecs(corpus, id_col, vec_col))
     return _assign_cells(c, _centroid_frame(c, n_centroids, centroids), 1)
 
 
@@ -374,6 +376,8 @@ def cosine_topk_ivf(
     n_centroids: int = 8,
     centroids: list[list[float]] | None = None,
     nprobe: int = 1,
+    broadcast_queries: bool | None = None,
+    broadcast_query_limit: int = 100_000,
 ) -> DataFrame:
     """IVF-style approximate top-k: quantize corpus + queries to
     centroid cells, then exact cosine rerank within the query's
@@ -383,13 +387,21 @@ def cosine_topk_ivf(
     ``nprobe`` buys recall linearly in probed-list size (the standard
     IVF recall knob, lifting the nprobe=1 blind spot of a query sitting
     near a cell boundary). Pass ``centroids`` from ``kmeans_centroids``
-    for a fitted index."""
+    for a fitted index.
+
+    Query-batch safety: a *small* query set broadcasts into the cell
+    join (map-only rerank); above ``broadcast_query_limit`` rows the
+    join auto-switches to a shuffled cid join, so handing the operator
+    a huge query batch degrades to one bounded exchange instead of
+    blowing the driver's broadcast budget (mirrors the k-means
+    literal→join auto). ``broadcast_queries`` forces either shape; both
+    produce identical results (pytest parity)."""
     # materialize the normalized corpus + inverted index once — the
     # query branch and the corpus branch both read them (at warehouse
     # scale these are persisted tables)
-    c = _prep_vecs(corpus, id_col, vec_col).persist()
+    c = track_persist(_prep_vecs(corpus, id_col, vec_col))
     cents = _centroid_frame(c, n_centroids, centroids)
-    cells = _assign_cells(c, cents, 1).persist()
+    cells = track_persist(_assign_cells(c, cents, 1))
     q_ids = queries.select(F.col(id_col).alias("vid"))
     if nprobe == 1:
         q_cells = cells.join(q_ids, on="vid", how="left_semi")
@@ -406,8 +418,11 @@ def cosine_topk_ivf(
         F.col("nrm").alias("qn"),
         "cid",
     )
+    if broadcast_queries is None:
+        broadcast_queries = q_ids.count() <= broadcast_query_limit
+    q_side = F.broadcast(q) if broadcast_queries else q
     sim = (
-        cells.join(F.broadcast(q), on="cid")
+        cells.join(q_side, on="cid")
         .filter(F.col("query_id") != F.col("vid"))
         .select(
             "query_id",
@@ -436,16 +451,16 @@ def cosine_topk_lsh(
     """Approximate top-k: exact rerank within each query's LSH bucket.
     Same output shape as ``cosine_topk``; recall traded for a
     |bucket|-bounded join instead of the full cross product."""
-    c = corpus.select(
+    c = track_persist(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).withColumn("cn", norm(F.col("cv"))).persist()
-    q = queries.select(
+    ).withColumn("cn", norm(F.col("cv"))))
+    q = track_persist(queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).withColumn("qn", norm(F.col("qv"))).persist()
+    ).withColumn("qn", norm(F.col("qv"))))
     sim = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

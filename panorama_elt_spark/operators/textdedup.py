@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..caching import track_persist
+
 
 def md5hash56(col: Column, salt: str = "") -> Column:
     """Deterministic 56-bit hash portable across engines:
@@ -152,10 +154,10 @@ def band_bucket_rows(
             buckets.withColumn("__n", F.count("*").over(w))
             .filter(F.col("__n") <= max_bucket_size)
             .drop("__n")
-            # both sides of the candidate self-join read this; without
-            # the barrier the cap window (and its exchange) runs twice
-            .persist()
         )
+        # both sides of the candidate self-join read this; without the
+        # barrier the cap window (and its exchange) runs twice
+        buckets = track_persist(buckets)
     return buckets
 
 
@@ -178,9 +180,9 @@ def minhash_lsh_pairs(
     caps hot buckets (see ``band_bucket_rows``).
     """
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures_df(
+    sigs = track_persist(minhash_signatures_df(
         df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k, with_shingles=True
-    ).persist()
+    ))
     # slim candidate generation: only (doc_id, band, bucket) travels
     # through the self-join shuffle; shingle sets join in afterwards,
     # once per *candidate pair*, not per band row.
@@ -258,8 +260,8 @@ def ngram_jaccard_pairs(
             ).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        .persist()
     )
+    sh = track_persist(sh)
     a, b = sh.alias("a"), sh.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -317,7 +319,7 @@ def ngram_jaccard_pairs_lsh(
         for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
     ]
     aggs.append(F.collect_set(h56).alias("sh"))
-    sigs = ex.groupBy("doc_id").agg(*aggs).persist()
+    sigs = track_persist(ex.groupBy("doc_id").agg(*aggs))
 
     buckets = band_bucket_rows(sigs, n_bands, rows_per_band, max_bucket_size)
     cand = (
@@ -467,7 +469,7 @@ def simhash_near_dupes(
     chunk_bits = n_bits // n_chunks
     mask = (1 << chunk_bits) - 1
     fingerprints = simhash64_df if n_bits == 64 else simhash_df
-    sh = fingerprints(df, id_col, text_col).persist()
+    sh = track_persist(fingerprints(df, id_col, text_col))
     chunks = sh.select(
         "doc_id",
         F.explode(

@@ -212,3 +212,64 @@ def test_simhash64_identical_and_disjoint(spark):
         df, "doc_id", "text", n_bits=64, n_chunks=4, max_hamming=3
     ).collect()
     assert {(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs} == {(1, 2, 0)}
+
+
+def test_persist_scope_releases_operator_barriers(spark, sf_dir):
+    """Cache hygiene: every persist barrier an operator pins is released
+    when the caller's persist_scope exits, so a long-lived session
+    composing many operators (the t2 pattern) accumulates no executor
+    storage. Checked against the session CacheManager — the registry
+    DataFrame.persist actually uses."""
+    from panorama_elt_spark import queries as Q
+    from panorama_elt_spark.caching import persist_scope, track_persist
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()  # clean slate regardless of earlier tests
+    assert cache_mgr.isEmpty()
+    for name in [
+        "d3_minhash_lsh_pairs", "d6_ngram_jaccard", "s2_ann_cosine_lsh",
+        "s3_ann_cosine_ivf", "s4_ann_cosine_ivf_kmeans", "j4b_fill_parent_attrs",
+    ]:
+        with persist_scope():
+            rows = Q.queries()[name](spark, sf_dir).collect()
+            assert len(rows) >= 0
+            assert not cache_mgr.isEmpty()  # the barrier was real
+        assert cache_mgr.isEmpty(), f"{name} leaked persist barriers"
+
+    # nesting: the inner scope releases only its own barrier
+    df_outer = track_persist(spark.range(10).toDF("id"))  # no scope active
+    with persist_scope():
+        track_persist(spark.range(5).toDF("id")).count()
+        with persist_scope():
+            track_persist(spark.range(3).toDF("id")).count()
+        # inner released; outer scope's barrier still cached
+        assert not cache_mgr.isEmpty()
+    # without an active scope track_persist degrades to plain persist
+    assert not cache_mgr.isEmpty()
+    df_outer.unpersist()
+    assert cache_mgr.isEmpty()
+
+
+def test_ivf_query_join_shapes_parity(spark, sf_dir):
+    """cosine_topk_ivf's query side auto-switches broadcast→shuffled cid
+    join above the broadcast limit; both physical shapes return the
+    identical result set."""
+    from panorama_elt_spark.operators import similarity
+    from panorama_elt_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def run(**kw):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in similarity.cosine_topk_ivf(emb, q, k=5, n_centroids=4, **kw).collect()
+        )
+
+    bcast = run(broadcast_queries=True)
+    shuffled = run(broadcast_queries=False)
+    auto_small = run()  # 8 queries → broadcast branch
+    auto_forced_shuffle = run(broadcast_query_limit=2)  # 8 > 2 → cid join
+    assert bcast == shuffled == auto_small == auto_forced_shuffle
+    assert len(bcast) > 0
