@@ -173,9 +173,11 @@ def main() -> None:
             ),
         },
     }
-    # optional: the same pairing with real executor JVMs (separate
-    # processes, serialized netty shuffle). Slow; opt-in.
-    if os.environ.get("SPARK_GRAFT_BENCH_LC") == "1":
+    # the same pairing with real executor JVMs (separate processes,
+    # serialized netty shuffle) — the pairing the ≥0.8 criterion is
+    # actually about, so it ships in the default artifact; set
+    # SPARK_GRAFT_BENCH_LC=0 to skip the ~15 extra minutes.
+    if os.environ.get("SPARK_GRAFT_BENCH_LC", "1") != "0":
         lc_lo = run_replay_level(lo_cpus, events, master=f"local-cluster[1,{lo_cpus},9216]")
         lc_hi = run_replay_level(cpus, events, master=f"local-cluster[4,{lo_cpus},9216]")
         lc_eff = eff(lc_lo, lc_hi, cpus / lo_cpus)

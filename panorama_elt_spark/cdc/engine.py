@@ -161,22 +161,17 @@ class CdcEngine:
         """
         t0 = time.monotonic()
         report = ReplayReport()
-        if max_lsn is None:
-            max_lsn = log_df.agg(F.max(lsn_col)).collect()[0][0]
-            if max_lsn is None:
-                return report
-        start_lsn = self.table.snapshot.last_lsn + 1
-        ks = list(range(start_lsn // batch_size, max_lsn // batch_size + 1))
         prefetch = (
             self.pre_dedupe is None
             and not self.registry
             and os.environ.get("PANORAMA_PREFETCH_STATS", "1") != "0"
-            and len(ks) > 1
         )
         # without a registry the schema/keys/buckets are constant across
         # the replay — capture once so the prefetch thread never races a
         # snapshot commit
         snap0 = self.table.snapshot
+        start_lsn = snap0.last_lsn + 1
+        k0 = start_lsn // batch_size
 
         def batch_for(k: int) -> DataFrame:
             lo, hi = k * batch_size, (k + 1) * batch_size - 1
@@ -196,7 +191,16 @@ class CdcEngine:
             pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="cdc-stats-prefetch"
             )
+            # prime the FIRST batch's stats now, so they overlap the
+            # max-lsn probe below — otherwise batch 0's stats are the
+            # one remaining serial stats job of the replay
+            fut = pool.submit(stats_for, k0)
         try:
+            if max_lsn is None:
+                max_lsn = log_df.agg(F.max(lsn_col)).collect()[0][0]
+                if max_lsn is None:
+                    return report
+            ks = list(range(k0, max_lsn // batch_size + 1))
             for i, k in enumerate(ks):
                 lo, hi = k * batch_size, (k + 1) * batch_size - 1
                 batch_id = f"b{k}@{batch_size}"
