@@ -32,7 +32,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float]:
+def _noise_probe(spark, sf_dir: str) -> float:
+    """A fixed, tiny calibration job (scan + groupBy + noop over
+    lineitem). Its wall depends only on the host, never on this repo's
+    code, so recording it before/after the suite lets round-over-round
+    query regressions be adjudicated against host noise mechanically
+    (this box carries uncontrolled background load, up to 3x on single
+    walls)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("q"), F.count("*").alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(time.monotonic() - t0, 3)
+
+
+def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float, dict]:
     from panorama_elt_spark import queries as Q
     from panorama_elt_spark.caching import persist_scope
     from panorama_elt_spark.session import get_spark
@@ -42,6 +61,7 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float]:
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 16),
     )
+    probe = {"before": _noise_probe(spark, sf_dir)}
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in Q.queries().items():
@@ -54,8 +74,9 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], float]:
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
         total += dt
+    probe["after"] = _noise_probe(spark, sf_dir)
     spark.stop()
-    return timings, total
+    return timings, total, probe
 
 
 def run_replay_level(
@@ -102,7 +123,7 @@ def main() -> None:
     events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    timings, total = run_queries(sf_dir, cpus)
+    timings, total, noise_probe = run_queries(sf_dir, cpus)
 
     # three levels → two N-vs-4N pairings: lo→hi is the headline
     # (local[8]→local[32] by default); min→lo (local[2]→local[8]) shows
@@ -150,6 +171,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # fixed calibration job before/after the suite — the host-noise
+        # yardstick for round-over-round query comparisons
+        "noise_probe": noise_probe,
         "cdc_replay": {
             "events": events,
             "local_min": mn,
@@ -232,6 +256,7 @@ def main() -> None:
         "value": report["value"],
         "unit": report["unit"],
         "sf": report["sf"],
+        "noise_probe": report["noise_probe"],
         "queries": {k: round(v, 2) for k, v in report["queries"].items()},
         "cdc_replay": compact_replay,
         "artifact": "bench_out.json",

@@ -562,3 +562,31 @@ def test_prefilter_on_off_parity_nasty_log(spark, tmp_path, monkeypatch):
     ]
     for state in states.values():
         assert state == sorted(expected, key=str)
+
+
+def test_stats_prefetch_on_off_parity(spark, tmp_path, monkeypatch):
+    """The stats prefetch is pure pipelining: with it disabled the replay
+    produces the identical state, lineage, and batch ids (byte-identical
+    per-row sha256)."""
+    log = generate_change_log(spark, SPEC)
+    states = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("PANORAMA_PREFETCH_STATS", flag)
+        root = tmp_path / f"prefetch_{flag}"
+        root.mkdir()
+        t = _make_table(spark, root)
+        report = CdcEngine(t).replay(log, batch_size=1000)
+        states[flag] = {
+            "state": sorted(
+                tuple(r) for r in t.read().select(
+                    "repo", "path", "commit", F.sha2("content", 256)
+                ).collect()
+            ),
+            "batches": [b.batch_id for b in report.batches],
+            "lineage": sorted(
+                tuple(r) for r in t.lineage_df().drop("snapshot_version").collect()
+            ),
+            "last_lsn": t.snapshot.last_lsn,
+        }
+    assert states["1"] == states["0"]
+    assert len(states["1"]["state"]) > 0
