@@ -99,6 +99,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..lakehouse.snapshot import CommitConflict
 from ..lakehouse.table import LakeTable, bucket_expr
 
 _DEBUG_TIMING = os.environ.get("PANORAMA_DEBUG_TIMING", "") == "1"
@@ -297,6 +298,31 @@ def _bucket_local_map_fn(
     return fn
 
 
+def commit_or_skip(table: LakeTable, parent, *commit_args, batch_id: str, **commit_kwargs):
+    """Commit; on a CAS conflict, resolve the exactly-once race.
+
+    Two writers submitting the *same deterministic batch id* (a retried
+    job, a failed-over driver) race on version N; the loser's
+    ``CommitConflict`` here means the batch may already be in. If the
+    winning snapshot carries ``batch_id``, the loser's work is redundant
+    by construction (same id ⇒ same LSN range ⇒ same resolved state) —
+    return (current snapshot, skipped=True) and let ``vacuum`` reap the
+    loser's unreferenced files. A conflict from a *different* batch is a
+    real lost update (our merge read a stale resident state) and
+    re-raises for the caller to retry from the new snapshot.
+    """
+    try:
+        snap = table.commit_replace_buckets(
+            parent, *commit_args, batch_id=batch_id, **commit_kwargs
+        )
+        return snap, False
+    except CommitConflict:
+        cur = table.snapshot
+        if batch_id in cur.committed_batches:
+            return cur, True
+        raise
+
+
 def merge_batch(
     table: LakeTable,
     batch_df: DataFrame,
@@ -334,10 +360,12 @@ def merge_batch(
     affected = set(per_bucket)
     if not affected:
         per_key.unpersist()
-        new_snap = table.commit_replace_buckets(
-            snap, set(), [], batch_id=batch_id, lineage_rows=[]
+        new_snap, lost_race = commit_or_skip(
+            table, snap, set(), [], batch_id=batch_id, lineage_rows=[]
         )
-        return MergeStats(batch_id=batch_id, skipped=False, snapshot_version=new_snap.version)
+        return MergeStats(
+            batch_id=batch_id, skipped=lost_race, snapshot_version=new_snap.version
+        )
 
     # everything below may raise (bad strategy, failed write/commit);
     # the finally guarantees the cached per-key stats never leak
@@ -526,7 +554,8 @@ def merge_batch(
             for b in sorted(affected)
         ]
         batch_max_lsn = max(int(per_bucket[b]["lsn_hi"]) for b in affected)
-        new_snap = table.commit_replace_buckets(
+        new_snap, lost_race = commit_or_skip(
+            table,
             snap,
             replaced_buckets,
             new_files,
@@ -535,6 +564,13 @@ def merge_batch(
             lineage_rows=lineage_rows,
         )
         timer.lap("commit")
+        if lost_race:
+            # an identical concurrent retry won the CAS: its state is the
+            # one this merge would have produced; our files stay
+            # unreferenced (vacuum reaps them)
+            return MergeStats(
+                batch_id=batch_id, skipped=True, snapshot_version=new_snap.version
+            )
         return MergeStats(
             batch_id=batch_id,
             skipped=False,

@@ -590,3 +590,29 @@ def test_stats_prefetch_on_off_parity(spark, tmp_path, monkeypatch):
         }
     assert states["1"] == states["0"]
     assert len(states["1"]["state"]) > 0
+
+
+def test_commit_conflict_same_batch_resolves_to_skip(spark, tmp_path):
+    """Exactly-once under concurrent retry: two writers race the same
+    deterministic batch id; the CAS loser sees the id in the winning
+    snapshot and reports skipped (its files stay unreferenced for
+    vacuum). A conflict from a DIFFERENT batch id is a real lost update
+    and re-raises for the caller to retry from the fresh snapshot."""
+    from panorama_elt_spark.cdc.merge import commit_or_skip
+    from panorama_elt_spark.lakehouse.snapshot import CommitConflict
+
+    t = _make_table(spark, tmp_path, n_buckets=4)
+    stale = t.snapshot  # parent captured BEFORE the winner commits
+    log = spark.createDataFrame(
+        [(0, "I", "r", "p", "c", "py", "x")],
+        "lsn bigint, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    merge_batch(t, log, "b0")  # the winner lands the batch
+    v_after = t.snapshot.version
+    state = _rows(t.read())
+    snap, lost = commit_or_skip(t, stale, set(), [], batch_id="b0", lineage_rows=[])
+    assert lost and snap.version == v_after
+    assert _rows(t.read()) == state  # winner's state untouched
+    with pytest.raises(CommitConflict):
+        commit_or_skip(t, stale, set(), [], batch_id="other", lineage_rows=[])
