@@ -222,7 +222,7 @@ def main() -> None:
         json.dump(report, fh, indent=1)
 
     def slim_level(level: dict) -> dict:
-        out = {"cpus": level["cpus"], "events_per_sec": level["events_per_sec"]}
+        out = {"events_per_sec": level["events_per_sec"]}
         if "ceiling" in level:
             out["ceiling_eps"] = level["ceiling"]["events_per_sec"]
         return out
@@ -239,12 +239,12 @@ def main() -> None:
             if name in replay
         },
         **{
+            # the unsaturated-pairing variants live in the full artifact
             k: replay[k]
             for k in (
-                "scaling_efficiency", "scaling_efficiency_unsaturated",
-                "ceiling_efficiency", "ceiling_efficiency_unsaturated",
-                "engine_vs_ceiling", "engine_vs_ceiling_unsaturated",
-                "single_batch_vs_ceiling", "scaling_efficiency_local_cluster",
+                "scaling_efficiency", "ceiling_efficiency",
+                "engine_vs_ceiling", "single_batch_vs_ceiling",
+                "scaling_efficiency_local_cluster",
                 "ceiling_efficiency_local_cluster",
                 "engine_vs_ceiling_local_cluster",
             )
@@ -257,7 +257,7 @@ def main() -> None:
         "unit": report["unit"],
         "sf": report["sf"],
         "noise_probe": report["noise_probe"],
-        "queries": {k: round(v, 2) for k, v in report["queries"].items()},
+        "queries": {k: round(v, 1) for k, v in report["queries"].items()},
         "cdc_replay": compact_replay,
         "artifact": "bench_out.json",
     }
