@@ -197,26 +197,41 @@ def main() -> None:
             ),
         },
     }
+    # first emission happens BEFORE the local-cluster section: if the
+    # slow LC runs are cut short by a harness timeout, a complete
+    # artifact + summary line for the local levels already exists (the
+    # emitter runs again, updated, after LC completes — consumers take
+    # the LAST line).
+    _emit(report)
+
     # the same pairing with real executor JVMs (separate processes,
     # serialized netty shuffle) — the pairing the ≥0.8 criterion is
     # actually about, so it ships in the default artifact; set
     # SPARK_GRAFT_BENCH_LC=0 to skip the ~15 extra minutes.
     if os.environ.get("SPARK_GRAFT_BENCH_LC", "1") != "0":
-        lc_lo = run_replay_level(lo_cpus, events, master=f"local-cluster[1,{lo_cpus},9216]")
-        lc_hi = run_replay_level(cpus, events, master=f"local-cluster[4,{lo_cpus},9216]")
-        lc_eff = eff(lc_lo, lc_hi, cpus / lo_cpus)
-        lc_ceff = ceiling_eff(lc_lo, lc_hi, cpus / lo_cpus)
-        report["cdc_replay"]["local_cluster_lo"] = lc_lo
-        report["cdc_replay"]["local_cluster_hi"] = lc_hi
-        report["cdc_replay"]["scaling_efficiency_local_cluster"] = lc_eff
-        report["cdc_replay"]["ceiling_efficiency_local_cluster"] = lc_ceff
-        report["cdc_replay"]["engine_vs_ceiling_local_cluster"] = vs_ceiling(
-            lc_eff, lc_ceff
-        )
+        try:
+            lc_lo = run_replay_level(lo_cpus, events, master=f"local-cluster[1,{lo_cpus},9216]")
+            lc_hi = run_replay_level(cpus, events, master=f"local-cluster[4,{lo_cpus},9216]")
+        except Exception as exc:  # LC is additive evidence — never lose the artifact to it
+            report["cdc_replay"]["local_cluster_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        else:
+            lc_eff = eff(lc_lo, lc_hi, cpus / lo_cpus)
+            lc_ceff = ceiling_eff(lc_lo, lc_hi, cpus / lo_cpus)
+            report["cdc_replay"]["local_cluster_lo"] = lc_lo
+            report["cdc_replay"]["local_cluster_hi"] = lc_hi
+            report["cdc_replay"]["scaling_efficiency_local_cluster"] = lc_eff
+            report["cdc_replay"]["ceiling_efficiency_local_cluster"] = lc_ceff
+            report["cdc_replay"]["engine_vs_ceiling_local_cluster"] = vs_ceiling(
+                lc_eff, lc_ceff
+            )
+        _emit(report)
 
-    # full artifact to a file (machine-readable end-to-end: all raw
-    # walls, medians, ceilings); compact summary line to stdout — the
-    # driver's tail capture truncated the round-3 one-line giant JSON.
+
+def _emit(report: dict) -> None:
+    """Write the full artifact (machine-readable end-to-end: all raw
+    walls, medians, ceilings) and print the compact summary line — the
+    driver's tail capture truncated the round-3 one-line giant JSON, so
+    the stdout line stays under ~2 KB and points at the artifact."""
     artifact = os.path.join(REPO, "bench_out.json")
     with open(artifact, "w") as fh:
         json.dump(report, fh, indent=1)
@@ -261,7 +276,9 @@ def main() -> None:
         "cdc_replay": compact_replay,
         "artifact": "bench_out.json",
     }
-    print(json.dumps(compact))
+    # flush: stdout is block-buffered under a pipe, and the whole point
+    # of the early emission is surviving a later kill
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
