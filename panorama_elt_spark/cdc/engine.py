@@ -58,6 +58,12 @@ def conform_batch(
     it under each event's schema version; events predating the field get
     its declared default. Pure column expressions — one projection, no
     per-version splitting of the batch.
+
+    Expression depth is O(len(registry)) nested ``when`` branches per
+    field — fine for realistic version counts (tens), but a registry
+    with thousands of versions would build pathological expression
+    trees; cap the live registry to the versions a batch can actually
+    contain (Catalyst's nested-when analysis is quadratic-ish in depth).
     """
     cols = [F.col(c) for c in passthrough if c in df.columns]
     versions = sorted(registry)

@@ -342,6 +342,9 @@ def merge_batch(
             stats.per_key.unpersist()
         return MergeStats(batch_id=batch_id, skipped=True, snapshot_version=snap.version)
     if stats is not None and pre_dedupe is not None:
+        # invalid call, but the caller handed us a cached aggregate —
+        # release it before raising (every exit path must unpersist)
+        stats.per_key.unpersist()
         raise ValueError("precomputed stats cannot be combined with pre_dedupe")
 
     keys = snap.key_cols
@@ -416,10 +419,10 @@ def merge_batch(
         # ratio (~8x measured at the bench's Zipf spec); the slim pre-agg
         # shuffles ~1% of the bytes. Skipped when the winner set is too big
         # to broadcast or there is nothing to collapse. The broadcast
-        # budget is *bytes* (measured key widths from the stats aggregate,
-        # not a row count — wide composite string keys hit driver memory
-        # long before 4M rows); PANORAMA_PREFILTER_MAX_KEYS stays as a
-        # secondary row guard.
+        # budget is *bytes*: the winner set carries fixed 64-bit key
+        # fingerprints (xxhash64), so its size is n_keys × ~32 B
+        # regardless of key width; PANORAMA_PREFILTER_MAX_KEYS stays as
+        # a secondary row guard.
         rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
         n_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
         prefilter_max = int(os.environ.get("PANORAMA_PREFILTER_MAX_KEYS", "4000000"))

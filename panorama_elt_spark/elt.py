@@ -51,6 +51,7 @@ Settings YAML (descendant of the reference settings file, SURVEY §1.3):
 
 from __future__ import annotations
 
+import os
 from dataclasses import asdict, dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -220,6 +221,8 @@ def set_tables(
     written table list per datasource; round-trips ``load_settings``."""
     import yaml
 
+    import warnings
+
     with open(settings_path) as fh:
         doc = yaml.safe_load(fh)
     written: dict[str, list[str]] = {}
@@ -230,11 +233,30 @@ def set_tables(
         if only_tables:
             names = [n for n in names if n in only_tables]
         existing = {t["name"]: t for t in ds.get("tables") or []}
+        dropped = sorted(set(existing) - set(names))
+        if dropped:
+            # a declared table that discovery no longer reports (renamed
+            # sheet, dropped db table) loses its per-table config — say so
+            warnings.warn(
+                f"set-tables: datasource {ds.get('name', '?')!r} drops declared "
+                f"tables no longer discovered: {dropped}",
+                stacklevel=2,
+            )
         ds["tables"] = [existing.get(n, {"name": n}) for n in names]
         written[ds.get("name", "?")] = names
-    with open(settings_path, "w") as fh:
+    # validate the rewritten document BEFORE replacing the user's file:
+    # write to a sibling temp path, re-parse it through load_settings,
+    # and only then atomically swap it in — a discovery result that
+    # load_settings rejects leaves the original settings untouched.
+    tmp_path = settings_path + ".set-tables.tmp"
+    with open(tmp_path, "w") as fh:
         yaml.safe_dump(doc, fh, sort_keys=False)
-    load_settings(settings_path)  # fail loudly if the rewrite broke the file
+    try:
+        load_settings(tmp_path)
+    except Exception:
+        os.remove(tmp_path)
+        raise
+    os.replace(tmp_path, settings_path)
     return written
 
 

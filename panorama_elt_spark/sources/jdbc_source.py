@@ -71,16 +71,29 @@ class JdbcSource:
                 f"JDBC read of {table} failed (driver jar present? host reachable?): {exc}"
             ) from exc
 
+    def current_schema_query(self) -> str:
+        """The ``information_schema`` table-list query, dispatched on the
+        JDBC URL scheme: MySQL/MariaDB scope the current database with
+        ``DATABASE()``, Postgres with ``current_schema()``. Other
+        backends get the unscoped ANSI ``information_schema.tables``
+        minus the system schemata — coarse but portable."""
+        scheme = self.url.split(":")[1].lower() if ":" in self.url else ""
+        if scheme in ("mysql", "mariadb"):
+            where = "table_schema = DATABASE()"
+        elif scheme in ("postgresql", "postgres"):
+            where = "table_schema = current_schema()"
+        else:
+            where = "table_schema NOT IN ('information_schema', 'pg_catalog', 'sys')"
+        return f"(SELECT table_name FROM information_schema.tables WHERE {where}) AS t"
+
     def get_tables(self) -> list[str]:
         """S3 for JDBC: the table list of the connected database (the
         reference's ``SHOW TABLES``, ``mysql_datasource.py:126-135``) —
         read through ``information_schema`` so it pushes down as one
-        tiny query. Gated like every live read (``JdbcUnavailable``
-        without a driver jar)."""
-        df = self.read_table(
-            "(SELECT table_name FROM information_schema.tables "
-            "WHERE table_schema = DATABASE()) AS t"
-        )
+        tiny query, scoped per backend dialect (``current_schema_query``).
+        Gated like every live read (``JdbcUnavailable`` without a
+        driver jar)."""
+        df = self.read_table(self.current_schema_query())
         return sorted(r[0] for r in df.collect())
 
     def incremental_scan(

@@ -310,3 +310,43 @@ def test_extract_and_load_cli_verb(tmp_path):
     }
     base = str(tmp_path / "lake")
     assert sorted(os.path.basename(r) for r in list_tables(base)) == ["orders", "people"]
+
+
+def test_set_tables_safe_rewrite(spark, tmp_path, monkeypatch):
+    """The settings rewrite is validate-then-swap: if the rewritten
+    document fails load_settings, the user's original file survives
+    byte-identical (no destroyed config, no temp litter); and a declared
+    entry that discovery no longer reports warns before being dropped."""
+    import warnings
+
+    import panorama_elt_spark.elt as elt_mod
+    from panorama_elt_spark.elt import set_tables
+
+    settings_path = _write_fixtures(tmp_path)
+    original = open(settings_path).read()
+
+    # 1) validation failure → original untouched, temp file cleaned up
+    def boom(path):
+        raise ValueError("rejected by validator")
+
+    monkeypatch.setattr(elt_mod, "load_settings", boom)
+    try:
+        set_tables(spark, settings_path, only_datasource="books")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert open(settings_path).read() == original
+    assert not os.path.exists(settings_path + ".set-tables.tmp")
+    monkeypatch.undo()
+
+    # 2) declared-but-undiscovered entry → warning names it
+    with open(settings_path) as fh:
+        doc = yaml.safe_load(fh)
+    books = next(d for d in doc["datasources"] if d["name"] == "books")
+    books["tables"] = [{"name": "renamed_sheet", "key_cols": ["id"]}]
+    with open(settings_path, "w") as fh:
+        yaml.safe_dump(doc, fh, sort_keys=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        set_tables(spark, settings_path, only_datasource="books")
+    assert any("renamed_sheet" in str(w.message) for w in caught)

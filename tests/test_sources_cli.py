@@ -380,3 +380,16 @@ def test_xls_biff_roundtrip_property():
                 assert got.get(c) == expect(v), (r, c, v, got.get(c))
 
     roundtrip()
+
+
+def test_jdbc_table_discovery_dialect_dispatch(spark):
+    """get_tables scopes the information_schema query per backend:
+    DATABASE() for MySQL/MariaDB, current_schema() for Postgres, and an
+    unscoped ANSI fallback elsewhere — discovery no longer silently
+    assumes MySQL (the read itself stays gated by JdbcUnavailable)."""
+    q = JdbcSource(spark, "jdbc:mysql://db:3306/edx").current_schema_query()
+    assert "DATABASE()" in q
+    q = JdbcSource(spark, "jdbc:postgresql://db:5432/edx").current_schema_query()
+    assert "current_schema()" in q
+    q = JdbcSource(spark, "jdbc:sqlserver://db;databaseName=edx").current_schema_query()
+    assert "information_schema.tables" in q and "DATABASE()" not in q
