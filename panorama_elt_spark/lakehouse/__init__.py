@@ -1,3 +1,4 @@
+from .fileio import FileIO, InMemoryFileIO, LocalFileIO
 from .schema import Field, TableSchema, AddColumn, WidenColumn, RenameColumn, diff_schemas
 from .snapshot import Snapshot, CommitConflict
 from .table import LakeTable
@@ -12,4 +13,7 @@ __all__ = [
     "Snapshot",
     "CommitConflict",
     "LakeTable",
+    "FileIO",
+    "LocalFileIO",
+    "InMemoryFileIO",
 ]

@@ -19,8 +19,10 @@ S3 object overwrite (``panorama_datalake.py:215-258``) and the Athena
   replayed batch is detected by id and skipped.
 
 On object stores without atomic rename the same protocol maps to a
-conditional PUT (If-None-Match) or a catalog CAS — the class isolates
-that behind ``_publish``.
+conditional PUT (If-None-Match) or a catalog CAS — the storage
+primitives live behind the ``FileIO`` seam (fileio.py): POSIX and the
+in-memory fake object store implement the identical contract, and the
+commit/CAS/recovery tests run against both.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ import os
 import time
 from dataclasses import dataclass, field as dc_field
 
+from .fileio import FileIO, LocalFileIO
 from .schema import TableSchema
 
 
@@ -130,9 +133,12 @@ class Snapshot:
 
 
 class SnapshotLog:
-    """The ``_meta/`` directory: version files + atomic current pointer."""
+    """The ``_meta/`` namespace: version files + atomic current pointer.
+    All storage ops go through the ``FileIO`` seam — POSIX by default,
+    object-store semantics via any other implementation."""
 
-    def __init__(self, table_root: str):
+    def __init__(self, table_root: str, io: FileIO | None = None):
+        self.io = io or LocalFileIO()
         self.meta_dir = os.path.join(table_root, "_meta")
         self.hint_path = os.path.join(self.meta_dir, "version-hint.txt")
 
@@ -140,40 +146,35 @@ class SnapshotLog:
         return os.path.join(self.meta_dir, f"v{version}.json")
 
     def exists(self) -> bool:
-        return os.path.isdir(self.meta_dir) and self.current_version() is not None
+        return self.current_version() is not None
 
     def current_version(self) -> int | None:
         try:
-            with open(self.hint_path) as fh:
-                hinted = int(fh.read().strip())
+            hinted = int(self.io.read_text(self.hint_path).strip())
         except (FileNotFoundError, ValueError):
             hinted = -1
         # the hint is advisory: a crash between publish steps can leave it
         # stale, so trust the highest committed version file.
         best = hinted
-        if os.path.isdir(self.meta_dir):
-            for name in os.listdir(self.meta_dir):
-                if name.startswith("v") and name.endswith(".json"):
-                    try:
-                        best = max(best, int(name[1:-5]))
-                    except ValueError:
-                        pass
+        for name in self.io.list_dir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    pass
         return best if best >= 0 else None
 
     def read_current(self) -> Snapshot | None:
         v = self.current_version()
         if v is None:
             return None
-        with open(self._version_path(v)) as fh:
-            return Snapshot.from_json(fh.read())
+        return Snapshot.from_json(self.io.read_text(self._version_path(v)))
 
     def read_version(self, version: int) -> Snapshot:
-        with open(self._version_path(version)) as fh:
-            return Snapshot.from_json(fh.read())
+        return Snapshot.from_json(self.io.read_text(self._version_path(version)))
 
     def commit(self, snapshot: Snapshot, expected_parent: int | None) -> None:
         """Exclusive-create v{N}; conflict if it already exists."""
-        os.makedirs(self.meta_dir, exist_ok=True)
         cur = self.current_version()
         if cur != expected_parent:
             raise CommitConflict(
@@ -181,17 +182,11 @@ class SnapshotLog:
             )
         path = self._version_path(snapshot.version)
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            # the CAS: O_EXCL on POSIX, conditional PUT on object stores
+            self.io.write_text_if_absent(path, snapshot.to_json())
         except FileExistsError as exc:
             raise CommitConflict(f"version {snapshot.version} already committed") from exc
-        with os.fdopen(fd, "w") as fh:
-            fh.write(snapshot.to_json())
-            fh.flush()
-            os.fsync(fh.fileno())
         self._publish(snapshot.version)
 
     def _publish(self, version: int) -> None:
-        tmp = self.hint_path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self.hint_path)
+        self.io.write_text(self.hint_path, str(version))

@@ -33,6 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .fileio import FileIO, LocalFileIO
 from .schema import TableSchema, spark_type
 from .snapshot import DataFile, Snapshot, SnapshotLog
 
@@ -65,23 +66,25 @@ def _parquet_row_counts(paths: list[str]) -> dict[str, int]:
         return dict(ex.map(count, paths))
 
 
-def list_tables(base_dir: str) -> list[str]:
+def list_tables(base_dir: str, io: FileIO | None = None) -> list[str]:
     """S3: table-list discovery (ref ``mysql_datasource.py:126-135``
     ``SHOW TABLES``): every directory under ``base_dir`` holding a
     snapshot log is a lake table. Returns sorted table roots."""
+    io = io or LocalFileIO()
     out = []
-    for name in sorted(os.listdir(base_dir)) if os.path.isdir(base_dir) else []:
+    for name in io.list_dir(base_dir):
         root = os.path.join(base_dir, name)
-        if SnapshotLog(root).exists():
+        if SnapshotLog(root, io).exists():
             out.append(root)
     return out
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, io: FileIO | None = None):
         self.spark = spark
         self.root = root
-        self.log = SnapshotLog(root)
+        self.io = io or LocalFileIO()
+        self.log = SnapshotLog(root, self.io)
 
     # ------------------------------------------------------------------ DDL
 
@@ -93,8 +96,9 @@ class LakeTable:
         schema: TableSchema,
         key_cols: list[str],
         n_buckets: int = 32,
+        io: FileIO | None = None,
     ) -> "LakeTable":
-        table = cls(spark, root)
+        table = cls(spark, root, io)
         if table.log.exists():
             raise ValueError(f"table already exists at {root}")
         missing = [k for k in key_cols if schema.field_by_name(k) is None]
@@ -107,8 +111,8 @@ class LakeTable:
         return table
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
-        table = cls(spark, root)
+    def load(cls, spark: SparkSession, root: str, io: FileIO | None = None) -> "LakeTable":
+        table = cls(spark, root, io)
         if not table.log.exists():
             raise FileNotFoundError(f"no lake table at {root}")
         return table
@@ -407,16 +411,16 @@ class LakeTable:
 
         pa_types = {"string": pa.string(), "int": pa.int32(), "long": pa.int64()}
         schema = pa.schema([(n, pa_types[t]) for n, t in self._LINEAGE_COLS])
-        rel_dir = "_meta/lineage"
-        os.makedirs(os.path.join(self.root, rel_dir), exist_ok=True)
-        rel = f"{rel_dir}/spill-v{version}-{uuid.uuid4().hex[:12]}.parquet"
+        rel = f"_meta/lineage/spill-v{version}-{uuid.uuid4().hex[:12]}.parquet"
+        sink = pa.BufferOutputStream()
         pq.write_table(
             pa.Table.from_pylist(
                 [{n: r.get(n) for n, _ in self._LINEAGE_COLS} for r in rows],
                 schema=schema,
             ),
-            os.path.join(self.root, rel),
+            sink,
         )
+        self.io.write_bytes(os.path.join(self.root, rel), sink.getvalue().to_pybytes())
         return rel
 
     def alter_schema(self, new_schema: TableSchema) -> Snapshot:
@@ -536,9 +540,7 @@ class LakeTable:
         table; here the snapshot log *is* the catalog entry, so removing
         the root is the whole DDL). Views registered with
         ``register_view`` are dropped via ``drop_view``."""
-        import shutil
-
-        shutil.rmtree(self.root, ignore_errors=True)
+        self.io.delete_prefix(self.root)
 
     def register_view(self, name: str) -> None:
         """Register the current table state as a session temp view (the
@@ -575,7 +577,7 @@ class LakeTable:
             raise ValueError("keep_last must be >= 1")
         cur = self.snapshot.version
         removed = 0
-        for name in os.listdir(self.log.meta_dir):
+        for name in self.io.list_dir(self.log.meta_dir):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             try:
@@ -583,7 +585,7 @@ class LakeTable:
             except ValueError:
                 continue
             if v <= cur - keep_last:
-                os.remove(os.path.join(self.log.meta_dir, name))
+                self.io.delete(os.path.join(self.log.meta_dir, name))
                 removed += 1
         return removed
 
@@ -595,7 +597,7 @@ class LakeTable:
         what the expiry orphaned and time travel to every *retained*
         version keeps working. Returns number of files removed."""
         live: set[str] = set()
-        for name in os.listdir(self.log.meta_dir):
+        for name in self.io.list_dir(self.log.meta_dir):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
             try:
@@ -607,12 +609,10 @@ class LakeTable:
             live |= {os.path.join(self.root, p) for p in snap.lineage_files}
         removed = 0
         for sub in ("data", os.path.join("_meta", "lineage")):
-            for dirpath, _d, filenames in os.walk(os.path.join(self.root, sub)):
-                for name in filenames:
-                    path = os.path.join(dirpath, name)
-                    if name.endswith(".parquet") and path not in live:
-                        os.remove(path)
-                        removed += 1
+            for path in self.io.list(os.path.join(self.root, sub)):
+                if path.endswith(".parquet") and path not in live:
+                    self.io.delete(path)
+                    removed += 1
         return removed
 
     def lineage_df(self) -> DataFrame:
