@@ -100,7 +100,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..lakehouse.snapshot import CommitConflict
-from ..lakehouse.table import LakeTable, bucket_expr
+from ..lakehouse.table import LakeTable, bucket_expr, root_is_shared_posix
 
 _DEBUG_TIMING = os.environ.get("PANORAMA_DEBUG_TIMING", "") == "1"
 
@@ -137,10 +137,15 @@ class BatchStats:
     """Slim per-key/per-bucket statistics of one batch (the three-consumer
     aggregate: pruning, lineage, winner-prefilter set). ``per_key`` is a
     cached DataFrame; whoever consumes the stats must unpersist it
-    (``merge_batch`` always does, including on the skipped path)."""
+    (``merge_batch`` always does, including on the skipped path).
+    ``schema_version`` records the table schema the events were conformed
+    to when the stats ran ahead of time (None = no registry in play);
+    ``CdcEngine.apply_batch`` discards stats whose version does not match
+    the schema actually current at apply time."""
 
     per_key: DataFrame
     per_bucket: dict
+    schema_version: int | None = None
 
 
 def batch_events(batch_df: DataFrame, snap, op_col: str = "op", lsn_col: str = "lsn") -> DataFrame:
@@ -209,18 +214,6 @@ def _resolve_requested_strategy(arg: str) -> str:
             f"expected one of {sorted(_STRATEGIES)}"
         )
     return requested
-
-
-def _root_is_shared_posix(root: str) -> bool:
-    """The bucket-local kernel reads resident files with pyarrow inside
-    executor tasks — every executor must see ``root`` as a plain POSIX
-    path (shared mount or single machine). Object-store roots
-    (s3a://...) are JVM-readable but not pyarrow-path-readable, so auto
-    never selects bucket_local for them (explicit opt-in still works if
-    the deployment mounts the store, e.g. via FUSE)."""
-    if "://" in root and not root.startswith("file://"):
-        return False
-    return os.path.isdir(root.removeprefix("file://"))
 
 
 @contextmanager
@@ -378,7 +371,9 @@ def merge_batch(
         # pyarrow, bypassing the JVM field-id mapping) and only pays off
         # when the resident side outweighs the batch.
         strategy = _resolve_requested_strategy(strategy)
-        affected_files = [f for f in snap.files if f.bucket in affected]
+        # O(touched) metadata: loads only the manifests covering the
+        # affected buckets, never the whole table's file inventory
+        affected_files = snap.files_in_buckets(affected)
         if strategy == "auto":
             uniform_schema = all(
                 f.schema_version == snap.schema.schema_version and f.kind == "base"
@@ -392,7 +387,7 @@ def merge_batch(
             # (measured 2x slower at 6M resident / 1M batch), so auto picks
             # it only with real executors (incl. local-cluster), a
             # resident-dominated merge, and a root every executor can read
-            # as a POSIX path (see _root_is_shared_posix).
+            # as a POSIX path (see table.root_is_shared_posix).
             master = table.spark.sparkContext.master
             single_jvm = master == "local" or master.startswith("local[")
             strategy = (
@@ -400,7 +395,7 @@ def merge_batch(
                 if uniform_schema
                 and not single_jvm
                 and resident_rows > rows_in_total
-                and _root_is_shared_posix(table.root)
+                and root_is_shared_posix(table.root)
                 else "fused"
             )
         elif strategy == "bucket_local" and any(

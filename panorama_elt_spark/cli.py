@@ -136,8 +136,9 @@ def cmd_table_info(args) -> int:
         "fields": [f.to_dict() for f in snap.schema.fields],
         "key_cols": snap.key_cols,
         "n_buckets": snap.n_buckets,
-        "n_files": len(snap.files),
-        "rows": sum(f.rows for f in snap.files),
+        "n_files": snap.total_files(),
+        "rows": snap.total_rows(),
+        "n_manifests": len(snap.manifests),
         "last_lsn": snap.last_lsn,
         "committed_batches": len(snap.committed_batches),
         "lineage_rows": len(snap.lineage),
@@ -208,7 +209,7 @@ def cmd_test_connections(args) -> int:
     if args.root:
         try:
             t = LakeTable.load(spark, args.root)
-            print(f"table: OK (v{t.snapshot.version}, {len(t.snapshot.files)} files)")
+            print(f"table: OK (v{t.snapshot.version}, {t.snapshot.total_files()} files)")
         except Exception as exc:
             ok = False
             print(f"table: FAIL ({exc})")

@@ -179,7 +179,7 @@ def land_table(
     snap = table.overwrite(
         raw, properties={"field_types": dict(field_types or {})}
     )
-    return table, sum(f.rows for f in snap.files)
+    return table, snap.total_rows()
 
 
 def discover_tables(spark: SparkSession, ds: dict) -> list[str]:

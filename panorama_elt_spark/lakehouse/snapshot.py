@@ -5,10 +5,20 @@ S3 object overwrite (``panorama_datalake.py:215-258``) and the Athena
 ``ClientRequestToken`` idempotency token (``panorama_datalake.py:117``)
 — as an Iceberg-style snapshot log:
 
-* A table's state is one immutable JSON document ``_meta/v{N}.json``
-  listing every live data file per bucket, the field-id schema (plus all
-  historical schema versions for reading old files), the last applied
-  LSN, the set of committed batch ids, and lineage rows.
+* A table's state is one small immutable JSON document
+  ``_meta/v{N}.json`` holding the field-id schema (plus all historical
+  schema versions for reading old files), the last applied LSN, the set
+  of committed batch ids, lineage rows, and a pointer to a *manifest
+  list* (``_meta/manifests/ml-*.json``) that names the immutable
+  *manifest files* (``m-*.json``), each listing the live data files of
+  a bounded group of buckets — the Iceberg manifest-list shape.
+* Commit cost is O(touched buckets), never O(table files): a commit
+  writes new manifests for the buckets it touched (plus rewrites of the
+  survivor manifests those buckets shared a group with — bounded by the
+  ``PANORAMA_MANIFEST_SPAN`` group size), one manifest-list file that
+  mostly *references* untouched manifests, and the fixed-size snapshot
+  document. At the 100 TB design point (~16k buckets, minute batches)
+  the driver no longer serializes an O(table) file inventory per batch.
 * Commit = exclusive-create of ``v{N+1}.json`` (``open(..., 'x')`` —
   two racing committers cannot both win) followed by an atomic
   ``os.replace`` of the version-hint pointer. Readers resolve the hint,
@@ -67,12 +77,42 @@ class DataFile:
 
 
 @dataclass
+class ManifestEntry:
+    """One row of the manifest list: an immutable manifest file covering
+    a bounded group of buckets, with summary stats so bucket pruning,
+    row totals and delta discovery never read the manifest itself."""
+
+    path: str  # relative to table root
+    buckets: list[int]
+    kinds: list[str]  # sorted set union of member DataFile kinds
+    n_files: int
+    n_rows: int
+
+    def to_dict(self) -> dict:
+        return {
+            "path": self.path,
+            "buckets": self.buckets,
+            "kinds": self.kinds,
+            "n_files": self.n_files,
+            "n_rows": self.n_rows,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "ManifestEntry":
+        return ManifestEntry(
+            d["path"], list(d["buckets"]), list(d["kinds"]), d["n_files"], d["n_rows"]
+        )
+
+
+@dataclass
 class Snapshot:
     version: int
     schema: TableSchema
     n_buckets: int
     key_cols: list[str]
-    files: list[DataFile] = dc_field(default_factory=list)
+    # the manifest list: data files live in immutable manifest files,
+    # each covering a bounded bucket group (PANORAMA_MANIFEST_SPAN)
+    manifests: list[ManifestEntry] = dc_field(default_factory=list)
     last_lsn: int = -1
     committed_batches: list[str] = dc_field(default_factory=list)
     lineage: list[dict] = dc_field(default_factory=list)
@@ -85,42 +125,113 @@ class Snapshot:
     # the most recent rows — the snapshot document stays O(retention),
     # not O(table lifetime)
     lineage_files: list[str] = dc_field(default_factory=list)
+    # set by SnapshotLog.commit when it writes the manifest-list file
+    manifest_list_path: str | None = None
+    # legacy format_version-1 documents inline their file list; the
+    # first post-upgrade commit migrates them into manifests
+    inline_files: list[DataFile] | None = None
+    # lazy-load context, bound by SnapshotLog (never serialized)
+    _io: object = dc_field(default=None, repr=False, compare=False)
+    _root: str | None = dc_field(default=None, repr=False, compare=False)
+    _manifest_cache: dict = dc_field(default_factory=dict, repr=False, compare=False)
 
     def __post_init__(self) -> None:
         self.schema_history.setdefault(self.schema.schema_version, self.schema)
 
+    # ------------------------------------------------------- file access
+
+    def bind(self, io, root: str) -> "Snapshot":
+        self._io, self._root = io, root
+        return self
+
+    def load_manifest(self, entry: ManifestEntry) -> list[DataFile]:
+        cached = self._manifest_cache.get(entry.path)
+        if cached is None:
+            assert self._io is not None and self._root is not None, (
+                "snapshot not bound to storage — cannot load manifests"
+            )
+            doc = json.loads(self._io.read_text(os.path.join(self._root, entry.path)))
+            cached = [DataFile.from_dict(f) for f in doc["entries"]]
+            self._manifest_cache[entry.path] = cached
+        return cached
+
+    @property
+    def files(self) -> list[DataFile]:
+        """EVERY live data file — loads all manifests (full-scan /
+        maintenance path). Incremental paths should use
+        ``files_in_buckets`` so a batch only reads O(touched) metadata."""
+        if self.inline_files is not None:
+            return self.inline_files
+        return [f for m in self.manifests for f in self.load_manifest(m)]
+
     def files_in_buckets(self, buckets: set[int]) -> list[DataFile]:
-        return [f for f in self.files if f.bucket in buckets]
+        """Files of the named buckets, reading only the manifests whose
+        bucket group intersects them — the merge's metadata pruning."""
+        if self.inline_files is not None:
+            return [f for f in self.inline_files if f.bucket in buckets]
+        out: list[DataFile] = []
+        for m in self.manifests:
+            if any(b in buckets for b in m.buckets):
+                out.extend(f for f in self.load_manifest(m) if f.bucket in buckets)
+        return out
+
+    def total_rows(self) -> int:
+        """Row total from manifest summaries alone (no manifest reads)."""
+        if self.inline_files is not None:
+            return sum(f.rows for f in self.inline_files)
+        return sum(m.n_rows for m in self.manifests)
+
+    def total_files(self) -> int:
+        if self.inline_files is not None:
+            return len(self.inline_files)
+        return sum(m.n_files for m in self.manifests)
+
+    def delta_buckets(self) -> set[int]:
+        """Buckets holding merge-on-read delta files; reads only the
+        manifests whose summary says they hold deltas."""
+        if self.inline_files is not None:
+            return {f.bucket for f in self.inline_files if f.kind == "delta"}
+        out: set[int] = set()
+        for m in self.manifests:
+            if "delta" in m.kinds:
+                out |= {f.bucket for f in self.load_manifest(m) if f.kind == "delta"}
+        return out
+
+    # ------------------------------------------------------ serialization
 
     def to_json(self) -> str:
+        doc = {
+            "format_version": 2,
+            "version": self.version,
+            "schema": self.schema.to_dict(),
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "manifest_list": self.manifest_list_path,
+            "total_files": self.total_files(),
+            "total_rows": self.total_rows(),
+            "last_lsn": self.last_lsn,
+            "committed_batches": self.committed_batches,
+            "lineage": self.lineage,
+            "schema_history": {str(v): s.to_dict() for v, s in self.schema_history.items()},
+            "properties": self.properties,
+            "lineage_files": self.lineage_files,
+            "committed_at_unix": time.time(),
+        }
+        return json.dumps(doc, indent=1)
+
+    def manifest_list_json(self) -> str:
         return json.dumps(
-            {
-                "format_version": 1,
-                "version": self.version,
-                "schema": self.schema.to_dict(),
-                "n_buckets": self.n_buckets,
-                "key_cols": self.key_cols,
-                "files": [f.to_dict() for f in self.files],
-                "last_lsn": self.last_lsn,
-                "committed_batches": self.committed_batches,
-                "lineage": self.lineage,
-                "schema_history": {str(v): s.to_dict() for v, s in self.schema_history.items()},
-                "properties": self.properties,
-                "lineage_files": self.lineage_files,
-                "committed_at_unix": time.time(),
-            },
-            indent=1,
+            {"entries": [m.to_dict() for m in self.manifests]}, indent=1
         )
 
     @staticmethod
     def from_json(text: str) -> "Snapshot":
         d = json.loads(text)
-        return Snapshot(
+        snap = Snapshot(
             version=d["version"],
             schema=TableSchema.from_dict(d["schema"]),
             n_buckets=d["n_buckets"],
             key_cols=d["key_cols"],
-            files=[DataFile.from_dict(f) for f in d["files"]],
             last_lsn=d["last_lsn"],
             committed_batches=d["committed_batches"],
             lineage=d["lineage"],
@@ -130,6 +241,11 @@ class Snapshot:
             properties=d.get("properties", {}),
             lineage_files=d.get("lineage_files", []),
         )
+        if d.get("format_version", 1) >= 2:
+            snap.manifest_list_path = d.get("manifest_list")
+        else:  # legacy inline-file document
+            snap.inline_files = [DataFile.from_dict(f) for f in d.get("files", [])]
+        return snap
 
 
 class SnapshotLog:
@@ -139,7 +255,9 @@ class SnapshotLog:
 
     def __init__(self, table_root: str, io: FileIO | None = None):
         self.io = io or LocalFileIO()
+        self.root = table_root
         self.meta_dir = os.path.join(table_root, "_meta")
+        self.manifest_dir = os.path.join("_meta", "manifests")  # root-relative
         self.hint_path = os.path.join(self.meta_dir, "version-hint.txt")
 
     def _version_path(self, version: int) -> str:
@@ -151,7 +269,9 @@ class SnapshotLog:
     def current_version(self) -> int | None:
         try:
             hinted = int(self.io.read_text(self.hint_path).strip())
-        except (FileNotFoundError, ValueError):
+        except (FileNotFoundError, NotADirectoryError, ValueError):
+            # NotADirectoryError: the "table root" is a plain file
+            # (list_tables probes every child of the base dir)
             hinted = -1
         # the hint is advisory: a crash between publish steps can leave it
         # stale, so trust the highest committed version file.
@@ -168,18 +288,42 @@ class SnapshotLog:
         v = self.current_version()
         if v is None:
             return None
-        return Snapshot.from_json(self.io.read_text(self._version_path(v)))
+        return self.read_version(v)
 
     def read_version(self, version: int) -> Snapshot:
-        return Snapshot.from_json(self.io.read_text(self._version_path(version)))
+        snap = Snapshot.from_json(self.io.read_text(self._version_path(version)))
+        snap.bind(self.io, self.root)
+        if snap.manifest_list_path:
+            ml = json.loads(
+                self.io.read_text(os.path.join(self.root, snap.manifest_list_path))
+            )
+            snap.manifests = [ManifestEntry.from_dict(e) for e in ml["entries"]]
+        return snap
 
     def commit(self, snapshot: Snapshot, expected_parent: int | None) -> None:
-        """Exclusive-create v{N}; conflict if it already exists."""
+        """Write the manifest-list file, then exclusive-create v{N};
+        conflict if it already exists. The manifest list carries a
+        per-attempt unique name, so a CAS loser's list (and its
+        manifests) are simply never referenced — ``vacuum`` reaps them."""
+        import uuid
+
         cur = self.current_version()
         if cur != expected_parent:
             raise CommitConflict(
                 f"expected parent version {expected_parent}, found {cur}"
             )
+        snapshot.bind(self.io, self.root)
+        assert snapshot.inline_files is None, (
+            "legacy inline-file snapshots are read-only; build commits from "
+            "manifests (LakeTable migrates v1 parents on their next commit)"
+        )
+        if snapshot.manifest_list_path is None:
+            rel = os.path.join(
+                self.manifest_dir,
+                f"ml-v{snapshot.version}-{uuid.uuid4().hex[:12]}.json",
+            )
+            self.io.write_text(os.path.join(self.root, rel), snapshot.manifest_list_json())
+            snapshot.manifest_list_path = rel
         path = self._version_path(snapshot.version)
         try:
             # the CAS: O_EXCL on POSIX, conditional PUT on object stores

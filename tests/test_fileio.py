@@ -114,8 +114,9 @@ def test_fake_store_expire_and_vacuum(spark):
     removed_meta = t.expire_snapshots(keep_last=2)
     assert removed_meta == 3  # v0..v2 gone, v3/v4 retained
     removed = t.vacuum()
-    # bucket 0 was rewritten each commit: only v3's and v4's files remain live
-    assert removed == 2
+    # bucket 0 was rewritten each commit: v1/v2's data files die, plus the
+    # expired versions' manifest lists (v0..v2) and manifests (v1, v2)
+    assert removed == 7
     left = set(io.list(os.path.join(root, "data")))
     assert {p for p in left} == {
         os.path.join(root, f.path) for f in t.log.read_version(3).files
