@@ -120,16 +120,40 @@ class CdcEngine:
             self.table.alter_schema(target)
             cur = target
 
+    _UNKNOWN = object()  # sentinel: max schema version not precomputed
+
     def apply_batch(
-        self, batch_df: DataFrame, batch_id: str, stats: BatchStats | None = None
+        self,
+        batch_df: DataFrame,
+        batch_id: str,
+        stats: BatchStats | None = None,
+        max_schema_version=_UNKNOWN,
     ) -> MergeStats:
+        """Apply one batch. ``max_schema_version`` (the batch's highest
+        event schema version) can be precomputed by ``replay``'s single
+        upfront pass, removing the per-batch driver probe; ``stats``
+        computed ahead of time are validated against the schema version
+        actually current after evolution — mismatched stats are released
+        and recomputed inside the merge, never silently applied."""
         snap = self.table.snapshot
         if self.registry:
-            max_v = batch_df.agg(F.max("schema_version")).collect()[0][0]
+            max_v = (
+                batch_df.agg(F.max("schema_version")).collect()[0][0]
+                if max_schema_version is self._UNKNOWN
+                else max_schema_version
+            )
             if max_v is not None and max_v > snap.schema.schema_version:
                 self._evolve_to(int(max_v))
-            batch_df = conform_batch(
-                batch_df, self.table.snapshot.schema, self.registry
+            current = self.table.snapshot.schema
+            batch_df = conform_batch(batch_df, current, self.registry)
+            if stats is not None and stats.schema_version != current.schema_version:
+                stats.per_key.unpersist()
+                stats = None
+        elif stats is not None and stats.schema_version is not None:
+            stats.per_key.unpersist()
+            raise ValueError(
+                "stats were conformed to a registry schema but the engine "
+                "has no registry — refusing to apply mismatched statistics"
             )
         return merge_batch(
             self.table,
@@ -159,22 +183,32 @@ class CdcEngine:
         writes; the serial path per batch is one merge job + one
         commit. Concurrent Spark jobs from two threads share the
         context safely (separate job groups in the FIFO scheduler).
-        Disabled when a schema registry is set (conform depends on the
-        evolving table schema), when a standalone ``pre_dedupe`` is
-        forced, or via ``PANORAMA_PREFETCH_STATS=0``. Produces
-        byte-identical state either way — the prefetched aggregate is
-        the exact same plan over the exact same rows.
+        Disabled when a standalone ``pre_dedupe`` is forced, or via
+        ``PANORAMA_PREFETCH_STATS=0``. Produces byte-identical state
+        either way — the prefetched aggregate is the exact same plan
+        over the exact same rows.
+
+        **Prefetch under schema evolution.** With a registry, each
+        batch's max event schema version is computed once upfront (one
+        slim job replacing the per-batch driver probes), which makes
+        the whole evolution schedule known ahead: the prefetch thread
+        conforms batch k+1 to the schema the table WILL have when k+1
+        applies and stamps the stats with that version. ``apply_batch``
+        re-validates the stamp against the actual post-ALTER schema —
+        a mispredicted epoch discards the stats (correctness never
+        rides on the prediction), but between ALTER boundaries the
+        prefetch stays on instead of being disabled wholesale.
         """
         t0 = time.monotonic()
         report = ReplayReport()
         prefetch = (
             self.pre_dedupe is None
-            and not self.registry
             and os.environ.get("PANORAMA_PREFETCH_STATS", "1") != "0"
         )
-        # without a registry the schema/keys/buckets are constant across
+        # without evolution the schema/keys/buckets are constant across
         # the replay — capture once so the prefetch thread never races a
-        # snapshot commit
+        # snapshot commit; key column NAMES are stable across epochs
+        # (key fields are never renamed mid-stream)
         snap0 = self.table.snapshot
         start_lsn = snap0.last_lsn + 1
         k0 = start_lsn // batch_size
@@ -183,14 +217,48 @@ class CdcEngine:
             lo, hi = k * batch_size, (k + 1) * batch_size - 1
             return log_df.filter((F.col(lsn_col) >= lo) & (F.col(lsn_col) <= hi))
 
-        def stats_for(k: int) -> BatchStats:
-            return compute_batch_stats(
-                batch_events(batch_for(k), snap0, lsn_col=lsn_col),
-                snap0,
-                lsn_col=lsn_col,
+        # one upfront pass over the log: per-batch max schema version →
+        # the evolution schedule (replaces a per-batch agg+collect)
+        batch_max_v: dict[int, int] = {}
+        if self.registry and "schema_version" in log_df.columns:
+            rows = (
+                log_df.filter(F.col(lsn_col) >= start_lsn)
+                .groupBy(F.floor(F.col(lsn_col) / batch_size).alias("__k"))
+                .agg(F.max("schema_version").alias("__v"))
+                .collect()
             )
+            batch_max_v = {int(r["__k"]): int(r["__v"]) for r in rows if r["__v"] is not None}
+
+        def schema_at(version: int) -> TableSchema | None:
+            if version == snap0.schema.schema_version:
+                return snap0.schema
+            return self.registry.get(version)
+
+        def stats_for(k: int, sched_v: int) -> BatchStats | None:
+            batch = batch_for(k)
+            target = snap0
+            stamp = None
+            if self.registry:
+                target_schema = schema_at(sched_v)
+                if target_schema is None:
+                    return None  # unpredictable epoch: recompute at apply
+                from types import SimpleNamespace
+
+                batch = conform_batch(batch, target_schema, self.registry)
+                target = SimpleNamespace(
+                    key_cols=snap0.key_cols,
+                    n_buckets=snap0.n_buckets,
+                    schema=target_schema,
+                )
+                stamp = target_schema.schema_version
+            stats = compute_batch_stats(
+                batch_events(batch, target, lsn_col=lsn_col), target, lsn_col=lsn_col
+            )
+            stats.schema_version = stamp
+            return stats
 
         pool = fut = None
+        sched_v = snap0.schema.schema_version  # predicted version as batches apply
         if prefetch:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -200,7 +268,7 @@ class CdcEngine:
             # prime the FIRST batch's stats now, so they overlap the
             # max-lsn probe below — otherwise batch 0's stats are the
             # one remaining serial stats job of the replay
-            fut = pool.submit(stats_for, k0)
+            fut = pool.submit(stats_for, k0, max(sched_v, batch_max_v.get(k0, sched_v)))
         try:
             if max_lsn is None:
                 max_lsn = log_df.agg(F.max(lsn_col)).collect()[0][0]
@@ -212,9 +280,18 @@ class CdcEngine:
                 batch_id = f"b{k}@{batch_size}"
                 stats = fut.result() if fut is not None else None
                 fut = None
+                sched_v = max(sched_v, batch_max_v.get(k, sched_v))
                 if pool is not None and i + 1 < len(ks):
-                    fut = pool.submit(stats_for, ks[i + 1])
-                mstats = self.apply_batch(batch_for(k), batch_id, stats)
+                    nk = ks[i + 1]
+                    fut = pool.submit(
+                        stats_for, nk, max(sched_v, batch_max_v.get(nk, sched_v))
+                    )
+                mstats = self.apply_batch(
+                    batch_for(k),
+                    batch_id,
+                    stats,
+                    max_schema_version=batch_max_v.get(k) if self.registry else None,
+                )
                 report.batches.append(mstats)
                 if not mstats.skipped:
                     report.events_read += min(hi, max_lsn) - max(lo, start_lsn) + 1

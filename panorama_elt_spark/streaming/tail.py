@@ -74,6 +74,7 @@ def stream_changelog_to_table(
     *,
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    event_schema=None,
 ) -> StreamingQuery:
     """Tail ``log_dir`` (parquet change-event files) into ``table``.
 
@@ -81,10 +82,29 @@ def stream_changelog_to_table(
     in the directory and stops — the incremental-cron shape of the
     reference (README.md:190-194) without wall-clock coupling; without
     it, the query runs continuously picking up new files.
-    """
-    reader = spark.readStream.schema(
-        spark.read.parquet(log_dir).schema
-    )
+
+    ``event_schema`` (a StructType) lets the tail start before the
+    first log file lands — e.g. a continuous stream deployed ahead of
+    the producer. When omitted, the schema is probed from existing log
+    files if any, else derived from the table contract (table columns +
+    ``op`` string + ``lsn`` long — exactly what the merge consumes;
+    parquet files carrying extra columns still read fine under an
+    explicit schema)."""
+    from pyspark.sql import types as T
+
+    if event_schema is None:
+        try:
+            event_schema = spark.read.parquet(log_dir).schema
+        except Exception:  # empty or not-yet-existing directory
+            event_schema = T.StructType(
+                list(table.snapshot.schema.to_struct().fields)
+                + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+            )
+            if "://" not in log_dir or log_dir.startswith("file://"):
+                # the file-source needs the directory to exist; object
+                # stores have no directories to create
+                os.makedirs(log_dir.removeprefix("file://"), exist_ok=True)
+    reader = spark.readStream.schema(event_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(log_dir)

@@ -103,3 +103,87 @@ def test_alter_is_metadata_only(spark, tmp_path):
     files_before = {f.path for f in t.snapshot.files}
     t.alter_schema(V2)
     assert {f.path for f in t.snapshot.files} == files_before
+
+
+def _evo_log(spark, n=3000):
+    """Deterministic 3-epoch change log: v1 events, then v2 (stars),
+    then v3 (rename+widen), with update chains crossing the epochs."""
+    rows = []
+    for lsn in range(n):
+        k = f"k{lsn % 300}"
+        if lsn < n // 3:
+            rows.append((lsn, "U" if lsn % 5 else "I", "o/r", k, f"c{lsn}", "py", None, f"C{lsn}", None, 1))
+        elif lsn < 2 * n // 3:
+            rows.append((lsn, "D" if lsn % 17 == 0 else "U", "o/r", k, f"c{lsn}", "py", None, f"C{lsn}", lsn, 2))
+        else:
+            rows.append((lsn, "U", "o/r", k, f"c{lsn}", None, "sql", f"C{lsn}", lsn * 2, 3))
+    return _log(spark, rows)
+
+
+def test_prefetch_on_off_parity_under_evolution(spark, tmp_path, monkeypatch):
+    """Round-4 verdict item 7: with a registry the stats prefetch stays
+    ON between ALTER boundaries (the evolution schedule is precomputed
+    from the log). States must be byte-identical with prefetch on/off,
+    the evolution must land at v3 both ways, and with a correct schedule
+    no batch recomputes its stats at apply time."""
+    import panorama_elt_spark.cdc.engine as engine_mod
+    import panorama_elt_spark.cdc.merge as merge_mod
+
+    log = _evo_log(spark).cache()
+    try:
+        states = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("PANORAMA_PREFETCH_STATS", flag)
+            calls = {"n": 0}
+            orig = merge_mod.compute_batch_stats
+
+            def counting(*a, **kw):
+                calls["n"] += 1
+                return orig(*a, **kw)
+
+            monkeypatch.setattr(merge_mod, "compute_batch_stats", counting)
+            monkeypatch.setattr(engine_mod, "compute_batch_stats", counting)
+            t = LakeTable.create(
+                spark, str(tmp_path / f"t{flag}"), V1, ["repo", "path"], n_buckets=4
+            )
+            engine = CdcEngine(t, schema_registry=REGISTRY)
+            report = engine.replay(log, batch_size=500)
+            assert len(report.batches) == 6 and not any(b.skipped for b in report.batches)
+            assert t.snapshot.schema.schema_version == 3
+            # exactly one stats computation per batch — the prediction
+            # held across both ALTER boundaries (no discard+recompute)
+            assert calls["n"] == 6, calls
+            states[flag] = sorted(map(tuple, t.read().collect()))
+            monkeypatch.setattr(merge_mod, "compute_batch_stats", orig)
+            monkeypatch.setattr(engine_mod, "compute_batch_stats", orig)
+        assert states["1"] == states["0"]
+    finally:
+        log.unpersist()
+
+
+def test_apply_batch_rejects_stale_stats(spark, tmp_path):
+    """apply_batch validates precomputed stats: a stamp from the wrong
+    schema epoch is released and recomputed, never applied; stamped
+    stats on a registry-less engine raise."""
+    import pytest
+
+    from panorama_elt_spark.cdc.merge import batch_events, compute_batch_stats
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), V1, ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(t, schema_registry=REGISTRY)
+    batch = _log(spark, [(0, "I", "o/r", "a.py", "c0", "py", None, "A0", None, 1)])
+    from panorama_elt_spark.cdc.engine import conform_batch
+
+    stats = compute_batch_stats(batch_events(conform_batch(batch, V1, REGISTRY), t.snapshot), t.snapshot)
+    stats.schema_version = 99  # wrong epoch stamp
+    res = engine.apply_batch(batch, "b0", stats, max_schema_version=1)
+    assert not res.skipped and t.read().count() == 1
+    assert not stats.per_key.is_cached  # released, not leaked
+
+    plain = CdcEngine(LakeTable.create(spark, str(tmp_path / "p"), V1, ["repo", "path"], n_buckets=4))
+    ev = batch.select("lsn", "op", "repo", "path", "commit", "lang", "content")
+    s2 = compute_batch_stats(batch_events(ev, t.snapshot), t.snapshot)
+    s2.schema_version = 2
+    with pytest.raises(ValueError):
+        plain.apply_batch(ev, "b0", s2)
+    assert not s2.per_key.is_cached

@@ -126,3 +126,36 @@ def test_stream_bounded_epochs_max_files_per_trigger(spark, tmp_path):
     applied = [b for b in t.snapshot.committed_batches]
     assert len(applied) >= 3
     assert _rows(t.read()) == _rows(expected_final_state(spark, spec))
+
+
+def test_stream_starts_on_empty_dir(spark, tmp_path):
+    """A continuous tail can be deployed before the producer: the stream
+    starts on a not-yet-existing log dir (schema derived from the table
+    contract), then picks up files dropped in afterwards."""
+    spec = ChangeLogSpec(n_events=1500, n_keys=150)
+    log = generate_change_log(spark, spec)
+    log_dir = str(tmp_path / "log-not-yet")
+    ckpt = str(tmp_path / "ckpt")
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=8)
+    assert not os.path.exists(log_dir)
+    q = stream_changelog_to_table(
+        spark, log_dir, t, ckpt, trigger_available_now=False
+    )
+    try:
+        # producer arrives after the stream is already running; the
+        # derived schema drops the generator's extra columns (schema_
+        # version, stars) exactly like an explicit projection would
+        log.write.mode("append").parquet(log_dir)
+        import time
+
+        deadline = time.monotonic() + 120
+        want = len(expected_final_state(spark, spec).collect())
+        while time.monotonic() < deadline:
+            if t.log.exists() and t.snapshot.last_lsn >= spec.n_events - 1:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = _rows(t.read())
+    exp = _rows(expected_final_state(spark, spec))
+    assert got == exp and len(got) == want
