@@ -62,7 +62,7 @@ def _micro_probe(spark) -> float:
     (
         spark.range(8_000_000)
         .select(F.xxhash64("id").alias("h"))
-        .agg(F.sum("h"))
+        .agg(F.max("h"))  # max, not sum: sum overflows long under ANSI
         .collect()
     )
     return round(time.monotonic() - t0, 3)

@@ -1390,7 +1390,7 @@ def cdc_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _cdc_changes_sql() -> str:
+def _cdc_changes_sql(root: str | None = None) -> str:
     state = """
   SELECT repo, path, commit, lang, content FROM (
     SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
@@ -1399,7 +1399,7 @@ def _cdc_changes_sql() -> str:
 """
     return f"""
 WITH ev AS (SELECT DISTINCT lsn, op, repo, path, commit, lang, content
-            FROM read_parquet('{_cdc_changes_root()}/log/*.parquet')),
+            FROM read_parquet('{root or _cdc_changes_root()}/log/*.parquet')),
 sa AS ({state.format(where="WHERE lsn < 10000")}),
 sb AS ({state.format(where="")}),
 j AS (
@@ -1415,6 +1415,60 @@ j AS (
 SELECT repo, path, change_op, commit, lang, sha256(content) AS content_digest
 FROM j WHERE change_op IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC change feed over a MERGE-ON-READ range — same I/U/D semantics,
+# different physical plan: the second replay appends delta files
+# (strategy="append_delta"), so the whole version range is pure delta
+# adds and changes() takes the fast path (range winners LEFT JOIN the
+# old state; the new state is never reconstructed — table.py
+# _changes_from_deltas). The oracle is the SAME snapshot-diff SQL as
+# cdc_changes_feed on this query's own persisted log: the fast path
+# must be byte-equivalent to the diff semantics.
+# ---------------------------------------------------------------------------
+
+def _cdc_changes_mor_root() -> str:
+    return _scratch_root("cdc_changes_mor")
+
+
+def cdc_changes_mor(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
+    log = generate_change_log(spark, spec)
+    root = _cdc_changes_mor_root()
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    table = LakeTable.create(
+        spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
+    )
+    CdcEngine(table).replay(log, batch_size=10_000, max_lsn=9_999)
+    v_first = table.snapshot.version
+    CdcEngine(table, strategy="append_delta").replay(log, batch_size=10_000)
+    return table.changes(v_first).select(
+        "repo",
+        "path",
+        "change_op",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("content_digest"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1551,6 +1605,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_replay_state": cdc_replay_state,
         "cdc_stream_state": cdc_stream_state,
         "cdc_changes_feed": cdc_changes_feed,
+        "cdc_changes_mor": cdc_changes_mor,
         "cdc_changes_schema_evo": cdc_changes_schema_evo,
     }
 
@@ -1598,5 +1653,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_state": _cdc_sql(),
         "cdc_stream_state": _cdc_stream_sql(),
         "cdc_changes_feed": _cdc_changes_sql(),
+        "cdc_changes_mor": _cdc_changes_sql(_cdc_changes_mor_root()),
         "cdc_changes_schema_evo": _cdc_changes_evo_sql(),
     }
