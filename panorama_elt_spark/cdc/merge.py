@@ -311,7 +311,7 @@ def commit_or_skip(table: LakeTable, parent, *commit_args, batch_id: str, **comm
         return snap, False
     except CommitConflict:
         cur = table.snapshot
-        if batch_id in cur.committed_batches:
+        if table.is_batch_committed(batch_id, cur):
             return cur, True
         raise
 
@@ -329,7 +329,7 @@ def merge_batch(
 ) -> MergeStats:
     timer = _Timer()
     snap = table.snapshot
-    if batch_id in snap.committed_batches:
+    if table.is_batch_committed(batch_id, snap):
         # exactly-once guard: deterministic batch id already applied
         if stats is not None:
             stats.per_key.unpersist()

@@ -125,6 +125,12 @@ class Snapshot:
     # the most recent rows — the snapshot document stays O(retention),
     # not O(table lifetime)
     lineage_files: list[str] = dc_field(default_factory=list)
+    # committed batch ids beyond the recent in-document window, spilled
+    # oldest-first to immutable files under _meta/batchids/ — the
+    # exactly-once guard consults them only when the recent window
+    # misses (LakeTable.is_batch_committed), so the document carries
+    # O(recent) ids regardless of table lifetime and no id is ever lost
+    batchid_files: list[str] = dc_field(default_factory=list)
     # set by SnapshotLog.commit when it writes the manifest-list file
     manifest_list_path: str | None = None
     # legacy format_version-1 documents inline their file list; the
@@ -215,6 +221,7 @@ class Snapshot:
             "schema_history": {str(v): s.to_dict() for v, s in self.schema_history.items()},
             "properties": self.properties,
             "lineage_files": self.lineage_files,
+            "batchid_files": self.batchid_files,
             "committed_at_unix": time.time(),
         }
         return json.dumps(doc, indent=1)
@@ -240,6 +247,7 @@ class Snapshot:
             },
             properties=d.get("properties", {}),
             lineage_files=d.get("lineage_files", []),
+            batchid_files=d.get("batchid_files", []),
         )
         if d.get("format_version", 1) >= 2:
             snap.manifest_list_path = d.get("manifest_list")

@@ -175,6 +175,30 @@ class LakeTable:
         self.root = root
         self.io = io or LocalFileIO()
         self.log = SnapshotLog(root, self.io)
+        # spill files are immutable → cache survives snapshot re-reads
+        self._batchid_spill_cache: dict[str, frozenset] = {}
+
+    def is_batch_committed(self, batch_id: str, snap: Snapshot | None = None) -> bool:
+        """The exactly-once membership check. The recent in-document id
+        window answers the overwhelmingly common cases (a brand-new id:
+        miss everywhere; a recent retry: hit in-doc); only a miss falls
+        through to the spilled id files — immutable, so cached per
+        table handle, one read per file per process lifetime."""
+        import json
+
+        snap = snap or self.snapshot
+        if batch_id in snap.committed_batches:
+            return True
+        for rel in snap.batchid_files:
+            ids = self._batchid_spill_cache.get(rel)
+            if ids is None:
+                ids = frozenset(
+                    json.loads(self.io.read_text(os.path.join(self.root, rel)))
+                )
+                self._batchid_spill_cache[rel] = ids
+            if batch_id in ids:
+                return True
+        return False
 
     # ------------------------------------------------------------------ DDL
 
@@ -496,6 +520,7 @@ class LakeTable:
             schema_history=dict(snap.schema_history),
             properties=dict(snap.properties),
             lineage_files=list(snap.lineage_files),
+            batchid_files=list(snap.batchid_files),
         )
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
@@ -524,6 +549,7 @@ class LakeTable:
             schema_history=dict(snap.schema_history),
             properties=props,
             lineage_files=list(snap.lineage_files),
+            batchid_files=list(snap.batchid_files),
         )
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
@@ -552,12 +578,12 @@ class LakeTable:
           snapshot lists its spill files, so readers never pick up
           orphans from failed commits, and ``lineage_df()`` folds spilled
           + in-doc rows transparently.
-        * batch ids beyond ``PANORAMA_BATCHID_RETAIN`` (default 100 000)
-          age out oldest-first. Safe: ``CdcEngine.replay`` never
-          re-submits a batch at or below the LSN checkpoint, and
-          streaming epoch ids are monotonic per stream incarnation, so
-          only a recent window can ever recur — 100k ids covers any
-          plausible failure/retry horizon.
+        * batch ids beyond ``PANORAMA_BATCHID_RECENT`` (default 4096)
+          spill oldest-first to immutable files under ``_meta/batchids/``
+          — no id is ever lost (the exactly-once guard consults spills
+          via ``is_batch_committed`` only when the recent in-document
+          window misses, i.e. never on the new-batch hot path beyond a
+          cached read per spill file per process).
         """
         kept_manifests = self._carry_manifests(parent, replaced_buckets)
         schema = new_schema or parent.schema
@@ -572,9 +598,18 @@ class LakeTable:
             lineage_files.append(spilled)
             lineage_all = lineage_all[-retain:]
         batches = list(parent.committed_batches) + ([batch_id] if batch_id else [])
-        retain_b = int(os.environ.get("PANORAMA_BATCHID_RETAIN", "100000"))
-        if len(batches) > retain_b:
-            batches = batches[-retain_b:]
+        batchid_files = list(parent.batchid_files)
+        recent_b = int(os.environ.get("PANORAMA_BATCHID_RECENT", "4096"))
+        if len(batches) > recent_b:
+            import json
+            import uuid
+
+            rel = f"_meta/batchids/spill-v{new_version}-{uuid.uuid4().hex[:12]}.json"
+            self.io.write_text(
+                os.path.join(self.root, rel), json.dumps(batches[:-recent_b])
+            )
+            batchid_files.append(rel)
+            batches = batches[-recent_b:]
         new_snap = Snapshot(
             version=new_version,
             schema=schema,
@@ -587,6 +622,7 @@ class LakeTable:
             schema_history=history,
             properties=dict(parent.properties),
             lineage_files=lineage_files,
+            batchid_files=batchid_files,
         )
         self.log.commit(new_snap, expected_parent=parent.version)
         return new_snap
@@ -647,6 +683,7 @@ class LakeTable:
             schema_history=history,
             properties=dict(snap.properties),
             lineage_files=list(snap.lineage_files),
+            batchid_files=list(snap.batchid_files),
         )
         self.log.commit(new_snap, expected_parent=snap.version)
         return new_snap
@@ -920,6 +957,7 @@ class LakeTable:
             snap = self.log.read_version(v)
             live |= {os.path.join(self.root, f.path) for f in snap.files}
             live |= {os.path.join(self.root, p) for p in snap.lineage_files}
+            live |= {os.path.join(self.root, p) for p in snap.batchid_files}
             live |= {os.path.join(self.root, m.path) for m in snap.manifests}
             if snap.manifest_list_path:
                 live.add(os.path.join(self.root, snap.manifest_list_path))
@@ -929,10 +967,11 @@ class LakeTable:
                 if path.endswith(".parquet") and path not in live:
                     self.io.delete(path)
                     removed += 1
-        for path in self.io.list(os.path.join(self.root, self.log.manifest_dir)):
-            if path.endswith(".json") and path not in live:
-                self.io.delete(path)
-                removed += 1
+        for sub in (self.log.manifest_dir, os.path.join("_meta", "batchids")):
+            for path in self.io.list(os.path.join(self.root, sub)):
+                if path.endswith(".json") and path not in live:
+                    self.io.delete(path)
+                    removed += 1
         return removed
 
     def lineage_df(self) -> DataFrame:

@@ -134,12 +134,13 @@ def test_time_travel_and_vacuum(spark, tmp_path):
 def test_lineage_spill_and_batchid_retention(spark, tmp_path, monkeypatch):
     """The snapshot document stays O(retention): old lineage rows spill
     to listed parquet files (lineage_df folds them back), and batch ids
-    age out oldest-first while the recent window still dedupes."""
+    beyond the recent window spill to listed id files — the exactly-once
+    guard still sees BOTH windows (no id is ever lost)."""
     from panorama_elt_spark.cdc import merge_batch
     from panorama_elt_spark.lakehouse import Field, LakeTable, TableSchema
 
     monkeypatch.setenv("PANORAMA_LINEAGE_RETAIN", "2")
-    monkeypatch.setenv("PANORAMA_BATCHID_RETAIN", "3")
+    monkeypatch.setenv("PANORAMA_BATCHID_RECENT", "3")
     schema = TableSchema(
         [
             Field(1, "repo", "string", False),
@@ -165,13 +166,15 @@ def test_lineage_spill_and_batchid_retention(spark, tmp_path, monkeypatch):
     ldf = t.lineage_df()
     assert ldf.count() == total_rows
     assert {r["batch_id"] for r in ldf.collect()} == {f"b{k}" for k in range(5)}
-    # batch ids: oldest aged out, recent window still dedupes
+    # batch ids: in-doc window bounded, older ids spilled (not lost)
     assert len(snap.committed_batches) == 3
+    assert snap.batchid_files and "b0" not in snap.committed_batches
     v = snap.version
-    assert merge_batch(t, spark.createDataFrame(
-        [(99, "I", "rx", "px", "cx", "py", "xx")],
-        "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
-    ), "b4").skipped
+    for replayed in ("b4", "b0"):  # recent-window hit AND spill hit
+        assert merge_batch(t, spark.createDataFrame(
+            [(99, "I", "rx", "px", "cx", "py", "xx")],
+            "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
+        ), replayed).skipped
     assert t.snapshot.version == v
 
 

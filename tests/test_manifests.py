@@ -166,3 +166,34 @@ def test_legacy_inline_snapshot_migrates_on_next_commit(spark):
         (f"data/s2/bucket=0/part-0.parquet", 0)
     }
     assert got == expect
+
+
+def test_batchid_window_spills_and_exactly_once_survives(spark, monkeypatch):
+    """The committed-batch-id list stays O(recent) in the document; older
+    ids spill to immutable files and the exactly-once guard still sees
+    them — a batch id aged out of the in-doc window must NOT re-apply."""
+    from panorama_elt_spark.cdc.merge import commit_or_skip
+
+    monkeypatch.setenv("PANORAMA_BATCHID_RECENT", "4")
+    io = InMemoryFileIO()
+    root = "mem://bid"
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], n_buckets=4, io=io)
+    snap = t.snapshot
+    for v in range(1, 11):
+        snap = t.commit_replace_buckets(
+            snap, {0}, _fake_files(io, root, v, [0]), batch_id=f"b{v}"
+        )
+    assert len(snap.committed_batches) == 4          # bounded window
+    assert snap.batchid_files                        # spills exist
+    assert "b1" not in snap.committed_batches
+    assert t.is_batch_committed("b1")                # found via spill
+    assert not t.is_batch_committed("never-seen")
+    # a CAS race on a long-spilled id still resolves to the skip
+    got, skipped = commit_or_skip(
+        t, t.log.read_version(5), {0}, _fake_files(io, root, 99, [0]), batch_id="b2"
+    )
+    assert skipped and got.version == snap.version
+    # vacuum never reaps a spill referenced by a retained snapshot
+    t.expire_snapshots(keep_last=2)
+    t.vacuum()
+    assert t.is_batch_committed("b1")
