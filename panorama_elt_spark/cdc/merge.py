@@ -420,6 +420,9 @@ def merge_batch(
         # a secondary row guard.
         rows_in_total = sum(int(r["rows_in"]) for r in per_bucket.values())
         n_keys = int(sum(int(r["keys"]) for r in per_bucket.values()))
+        # size hint for the write path choice: small outputs skip the
+        # Arrow task-writer (worker-spawn overhead dominates there)
+        resident_rows_total = sum(f.rows for f in affected_files)
         prefilter_max = int(os.environ.get("PANORAMA_PREFILTER_MAX_KEYS", "4000000"))
         prefilter_max_bytes = int(
             os.environ.get("PANORAMA_PREFILTER_MAX_BYTES", str(256 << 20))
@@ -480,7 +483,11 @@ def merge_batch(
                     )
                 )
                 new_files = table.write_bucket_files(
-                    deduped, new_version, pre_partitioned=True, kind="delta"
+                    deduped,
+                    new_version,
+                    pre_partitioned=True,
+                    kind="delta",
+                    size_hint_rows=n_keys,
                 )
             replaced_buckets = set()  # pure append: nothing replaced
         elif strategy == "bucket_local":
@@ -514,7 +521,10 @@ def merge_batch(
                     out_struct,
                 )
                 new_files = table.write_bucket_files(
-                    merged, new_version, pre_partitioned=True
+                    merged,
+                    new_version,
+                    pre_partitioned=True,
+                    size_hint_rows=resident_rows_total + n_keys,
                 )
         else:
             # existing rows of the affected buckets, tagged to lose every tie:
@@ -533,7 +543,12 @@ def merge_batch(
                     .filter(F.col(f"__w.{op_col}") != "D")
                     .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
                 )
-                new_files = table.write_bucket_files(merged, new_version, pre_partitioned=True)
+                new_files = table.write_bucket_files(
+                    merged,
+                    new_version,
+                    pre_partitioned=True,
+                    size_hint_rows=resident_rows_total + n_keys,
+                )
         timer.lap(f"merge_write[{strategy}]")
 
         upserted = int(sum(max(r["keys"] - r["deletes"], 0) for r in per_bucket.values()))

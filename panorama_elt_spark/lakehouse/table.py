@@ -407,6 +407,7 @@ class LakeTable:
         *,
         pre_partitioned: bool = False,
         kind: str = "base",
+        size_hint_rows: int | None = None,
     ) -> list[DataFile]:
         """Write ``df`` (current-schema columns) hash-partitioned by
         bucket into a per-attempt unique directory
@@ -429,7 +430,12 @@ class LakeTable:
         walks the output directory or reads parquet footers on the
         commit path (the Iceberg writer shape). Roots executors cannot
         reach as POSIX paths fall back to the JVM writer + footer
-        stats (``PANORAMA_TASK_WRITE=0`` forces the fallback)."""
+        stats (``PANORAMA_TASK_WRITE=0`` forces the fallback), as do
+        writes the caller hints are small (``size_hint_rows`` below
+        ``PANORAMA_TASK_WRITE_MIN_ROWS``, default 100k): the Arrow hop
+        pays off on bulk, not on a few-thousand-row batch where the
+        Python-worker stage spawn dominates (footer reads there are a
+        handful of driver-side metadata reads)."""
         snap = self.snapshot
         import uuid
 
@@ -440,9 +446,11 @@ class LakeTable:
         if not pre_partitioned:
             out = out.repartition(min(snap.n_buckets, 64), F.col(BUCKET_COL))
         schema_version = snap.schema.schema_version
+        min_rows = int(os.environ.get("PANORAMA_TASK_WRITE_MIN_ROWS", "100000"))
         task_write = (
             os.environ.get("PANORAMA_TASK_WRITE", "1") != "0"
             and root_is_shared_posix(self.root)
+            and (size_hint_rows is None or size_hint_rows >= min_rows)
         )
         if task_write:
             from pyspark.sql.pandas.types import to_arrow_schema

@@ -31,6 +31,9 @@ def _events(spark, n=4000, keys=400):
 def test_task_write_parity_with_jvm_fallback(spark, tmp_path, monkeypatch):
     """Both write paths produce the same state rows and the same
     per-bucket manifest stats (paths differ by attempt id)."""
+    # the size hint would route this toy batch to the JVM path on both
+    # sides — force the task writer so the parity is real
+    monkeypatch.setenv("PANORAMA_TASK_WRITE_MIN_ROWS", "0")
     ev = _events(spark).cache()
     try:
         states, stats = [], []
@@ -53,9 +56,10 @@ def test_task_write_parity_with_jvm_fallback(spark, tmp_path, monkeypatch):
         ev.unpersist()
 
 
-def test_task_write_paths_are_task_reported(spark, tmp_path):
+def test_task_write_paths_are_task_reported(spark, tmp_path, monkeypatch):
     """Every manifested path exists, parses its bucket dir, and carries
     the exact row count of that file (spot-check against a read)."""
+    monkeypatch.setenv("PANORAMA_TASK_WRITE_MIN_ROWS", "0")
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=8)
     merge_batch(t, _events(spark), batch_id="b0")
     snap = t.snapshot
