@@ -675,15 +675,25 @@ class LakeTable:
         return rel
 
     def alter_schema(self, new_schema: TableSchema) -> Snapshot:
-        """Metadata-only schema change (no data rewrite)."""
+        """Metadata-only schema change (no data rewrite).
+
+        Key columns follow their *field id* through renames: a renamed
+        key column keeps its identity (and its rows keep their buckets —
+        values are unchanged, only the name moved), so appends and
+        merges after the ALTER address the key by its new name."""
         snap = self.snapshot
         history = dict(snap.schema_history)
         history[new_schema.schema_version] = new_schema
+        new_keys = []
+        for k in snap.key_cols:
+            old_fld = snap.schema.field_by_name(k)
+            new_fld = new_schema.field_by_id(old_fld.id) if old_fld else None
+            new_keys.append(new_fld.name if new_fld else k)
         new_snap = Snapshot(
             version=snap.version + 1,
             schema=new_schema,
             n_buckets=snap.n_buckets,
-            key_cols=snap.key_cols,
+            key_cols=new_keys,
             manifests=self._carry_manifests(snap, set()),
             last_lsn=snap.last_lsn,
             committed_batches=list(snap.committed_batches),
