@@ -195,6 +195,11 @@ def cmd_create_views(args) -> int:
     views = create_views(spark, args.base_dir)
     for v in views:
         print(f"view {v} (+ {v}_raw)")
+    if getattr(args, "persist", False):
+        from .catalog import persist_catalog
+
+        persist_catalog(args.base_dir)
+        print(f"catalog document written to {args.base_dir}/_catalog.json")
     print(f"{len(views)} tables registered")
     return 0
 
@@ -316,6 +321,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("create-views")
     p.add_argument("--base-dir", required=True)
+    p.add_argument(
+        "--persist",
+        action="store_true",
+        help="also write the lake's _catalog.json so later sessions "
+        "rebuild this view surface with one attach_catalog call",
+    )
     p.set_defaults(fn=cmd_create_views)
 
     p = sub.add_parser("set-tables-fields")

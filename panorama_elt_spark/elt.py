@@ -327,4 +327,11 @@ def extract_and_load(
                     results.append(res)
                     raise
             results.append(res)
+    # persist the lake's catalog document so any later session can
+    # rebuild this view surface with one attach_catalog call (the
+    # reference's Glue-persisted tables/views, panorama_elt.py:283-343)
+    if any(r.status == "loaded" for r in results):
+        from .catalog import persist_catalog
+
+        persist_catalog(settings.base_dir)
     return results

@@ -1472,6 +1472,66 @@ def cdc_changes_mor(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Persisted-catalog read path — the Glue/Athena persistence analogue
+# (ref ``panorama_datalake.py:169-213``, ``panorama_elt.py:283-343``):
+# replay a log into a lake (CoW epoch, then an uncompacted merge-on-read
+# epoch), write the lake's catalog document, attach the SQL surface in
+# one call routed through the `panorama` data source, and read the state
+# back through the registered view. Exercises read-time snapshot
+# resolution, the per-bucket Arrow LWW delta fold (zero shuffle), and
+# the catalog round-trip under the oracle gate. Oracle: the independent
+# DuckDB LWW replay of the same persisted log.
+# ---------------------------------------------------------------------------
+
+def _cdc_catalog_root() -> str:
+    return _scratch_root("cdc_catalog")
+
+
+def cdc_catalog_attach(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from .catalog import attach_catalog, persist_catalog
+    from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
+    log = generate_change_log(spark, spec)
+    root = _cdc_catalog_root()
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    base = os.path.join(root, "lake")
+    table = LakeTable.create(
+        spark, os.path.join(base, "repos"), schema, ["repo", "path"], n_buckets=16
+    )
+    CdcEngine(table).replay(log, batch_size=10_000, max_lsn=9_999)
+    # second epoch appends deltas and stays uncompacted: the attach-time
+    # read must fold them bucket-locally
+    CdcEngine(table, strategy="append_delta").replay(log, batch_size=10_000)
+    assert table.snapshot.delta_buckets()
+    persist_catalog(base)
+    attach_catalog(spark, base, use_datasource=True)
+    return spark.table("repos_raw").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("content_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CDC change feed across a schema epoch — the feed survives an ALTER
 # mid-stream (ref analogue: the settings YAML changes between runs,
 # ``panorama_elt.py:409-470``): batch 1 lands at schema v1, the v2
@@ -1607,6 +1667,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_changes_feed": cdc_changes_feed,
         "cdc_changes_mor": cdc_changes_mor,
         "cdc_changes_schema_evo": cdc_changes_schema_evo,
+        "cdc_catalog_attach": cdc_catalog_attach,
     }
 
 
@@ -1654,5 +1715,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stream_state": _cdc_stream_sql(),
         "cdc_changes_feed": _cdc_changes_sql(),
         "cdc_changes_mor": _cdc_changes_sql(_cdc_changes_mor_root()),
+        "cdc_catalog_attach": _lww_oracle_sql(f"{_cdc_catalog_root()}/log/*.parquet"),
         "cdc_changes_schema_evo": _cdc_changes_evo_sql(),
     }
