@@ -50,6 +50,72 @@ class CommitConflict(RuntimeError):
     """Another writer committed the same version first."""
 
 
+def diff_candidate_buckets(snap_from: "Snapshot", snap_to: "Snapshot") -> set[int] | None:
+    """Manifest-level pruning for snapshot diffs: manifests are
+    immutable, so a bucket can only differ if some manifest covering it
+    appears on one side and not the other. Returns the candidate bucket
+    set — O(manifest-list compare), no manifest reads — or ``None`` when
+    a legacy inline snapshot forces a full compare. Pure metadata: used
+    by ``LakeTable`` and by the ``panorama`` data source's change-feed
+    planner (which runs without a SparkSession)."""
+    if snap_from.inline_files is not None or snap_to.inline_files is not None:
+        return None
+    paths_from = {m.path for m in snap_from.manifests}
+    paths_to = {m.path for m in snap_to.manifests}
+    candidates: set[int] = set()
+    for m in snap_from.manifests:
+        if m.path not in paths_to:
+            candidates |= set(m.buckets)
+    for m in snap_to.manifests:
+        if m.path not in paths_from:
+            candidates |= set(m.buckets)
+    return candidates
+
+
+def snapshot_file_delta(
+    snap_from: "Snapshot", snap_to: "Snapshot"
+) -> tuple[list["DataFile"], list["DataFile"]]:
+    """(removed, added) data files between two snapshots, computed over
+    the manifest-pruned candidate buckets only."""
+    candidates = diff_candidate_buckets(snap_from, snap_to)
+    if candidates is not None and not candidates:
+        return [], []
+    f_from = {
+        f.path: f
+        for f in (
+            snap_from.files if candidates is None else snap_from.files_in_buckets(candidates)
+        )
+    }
+    f_to = {
+        f.path: f
+        for f in (
+            snap_to.files if candidates is None else snap_to.files_in_buckets(candidates)
+        )
+    }
+    removed = [f for p, f in f_from.items() if p not in f_to]
+    added = [f for p, f in f_to.items() if p not in f_from]
+    return removed, added
+
+
+def snapshot_changed_buckets(snap_from: "Snapshot", snap_to: "Snapshot") -> set[int]:
+    """Buckets whose file set differs between two snapshots. Data files
+    are immutable, so an identical file set ⇒ identical rows — the exact
+    pruning set for a change-feed scan."""
+    candidates = diff_candidate_buckets(snap_from, snap_to)
+    if candidates is not None and not candidates:
+        return set()
+
+    def by_bucket(snap) -> dict[int, tuple[str, ...]]:
+        files = snap.files if candidates is None else snap.files_in_buckets(candidates)
+        d: dict[int, list[str]] = {}
+        for f in files:
+            d.setdefault(f.bucket, []).append(f.path)
+        return {b: tuple(sorted(ps)) for b, ps in d.items()}
+
+    a, b = by_bucket(snap_from), by_bucket(snap_to)
+    return {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+
+
 @dataclass
 class DataFile:
     path: str  # relative to table root

@@ -6,34 +6,55 @@ SQL query built over this source always sees the table's current
 committed state — files are listed from the manifest log when the scan
 plans, merge-on-read deltas fold partition-locally, and every file is
 projected onto the current schema by field id. That read-time resolution
-is what makes *persisted* catalog entries (``CREATE TABLE ... USING
-panorama``, see ``panorama_elt_spark.catalog``) correct across sessions
-and commits — a view pinned to a data directory would go stale on the
-next commit and would bypass MOR/evolution semantics entirely.
+is what makes *persisted* catalog entries (``attach_catalog``, see
+``panorama_elt_spark.catalog``) correct across sessions and commits — a
+view pinned to a data directory would go stale on the next commit and
+would bypass MOR/evolution semantics entirely.
 
 This is the reference's Athena-side read path re-expressed
 (``panorama_datalake.py:169-213`` registers partitions so Athena's
 catalog resolves files at query time; here the snapshot log is the
 catalog and the source resolves it).
 
+Three read surfaces share one bucket-local Arrow kernel:
+
+* **state read** — ``spark.read.format("panorama").load(root)``
+  (+ ``.option("version", N)`` time travel,
+  ``.option("with_deltas", "false")`` raw base state);
+* **batch change feed** — ``.option("changes_from", v)`` (+ optional
+  ``changes_to``): the I/U/D rows between two snapshots, byte-equal to
+  ``LakeTable.changes`` (parity-tested), including its merge-on-read
+  fast path and newer-schema projection rule;
+* **streaming change feed** — ``spark.readStream.format("panorama")
+  .option("change_feed", "true").load(root)``: offsets are snapshot
+  versions, each micro-batch emits ``changes(start, end)``; resumes
+  from the checkpoint like any Spark source. The Delta CDF-stream
+  analogue. The stream's column set is pinned at start — after an
+  ALTER that adds columns, restart the stream to widen the surface
+  (standard streaming-schema semantics).
+
 Scale design:
 
-* one input partition per live bucket — the scan parallelism is the
+* one input partition per live/changed bucket — scan parallelism is the
   table's bucket count, the same unit the merge writes, so a
   1000-executor cluster fans out without any repartition;
-* the LWW delta fold runs inside each bucket partition (bucketing
-  co-locates every key's rows), so merge-on-read reads need **zero
-  shuffle** — Spark sees a plain scan;
+* LWW folds and change diffs run inside each bucket partition
+  (bucketing co-locates every key's rows), so MOR reads and change
+  feeds need **zero shuffle** — Spark sees a plain scan;
 * key-equality filters prune buckets before any file IO via the
   driver-side Murmur3 (``functions/murmur.py``) — a point lookup reads
   one bucket's files only (Spark still re-applies the predicate, the
   pushdown is pruning-only so it can never change results);
+* change-feed planning prunes at two metadata levels before touching
+  data: manifest-list compare → changed-bucket file-set diff
+  (``snapshot.py`` ``diff_candidate_buckets``/``snapshot_changed_buckets``);
 * file bytes move as Arrow record batches (pyarrow parquet reader →
   Spark's Arrow ingest), never per-row Python.
 
 The in-session hot path stays ``LakeTable.read()`` (JVM parquet scan +
-codegen); this source is the *catalog/interop* path. Time travel:
-``.option("version", N)``.
+codegen); this source is the catalog/interop/streaming-out path. A
+change-feed consumer's lag must stay inside ``expire_snapshots``
+retention — expired start versions raise cleanly.
 """
 
 from __future__ import annotations
@@ -46,20 +67,28 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..functions.murmur import SUPPORTED_TYPES, bucket_of
-from ..lakehouse.snapshot import SnapshotLog
+from ..lakehouse.snapshot import (
+    Snapshot,
+    SnapshotLog,
+    snapshot_changed_buckets,
+    snapshot_file_delta,
+)
 
 FORMAT_NAME = "panorama"
 
 # refuse to enumerate unbounded key-combination products during pruning
 _MAX_PRUNE_COMBOS = 1024
+
+CHANGE_OP_COL = "change_op"
 
 
 def _arrow_type(type_name: str):
@@ -71,10 +100,15 @@ def _arrow_type(type_name: str):
     return to_arrow_type(spark_type(type_name))
 
 
+# ---------------------------------------------------------------------------
+# partition payloads (plain picklable data)
+# ---------------------------------------------------------------------------
+
+
 @dataclass
 class BucketPartition(InputPartition):
     """One live bucket's files plus everything needed to project them
-    onto the current schema executor-side (plain picklable data)."""
+    onto the current schema executor-side."""
 
     bucket: int
     # (root-relative path, schema_version, kind)
@@ -87,19 +121,356 @@ class BucketPartition(InputPartition):
     key_cols: list[str] = dc_field(default_factory=list)
 
 
+@dataclass
+class ChangesPartition(InputPartition):
+    """One changed bucket's inputs for a change-feed scan. ``mor`` picks
+    the kernel: delta-classify (pure delta-append range) or full-outer
+    state diff."""
+
+    bucket: int
+    old_files: list[tuple[str, int, str]]
+    # diff path: the bucket's files in the TO snapshot; MOR path: the
+    # range's delta files only
+    new_files: list[tuple[str, int, str]]
+    mor: bool
+    root: str
+    target_fields: list[tuple[int, str, str, object]]
+    histories: dict[int, list[tuple[int, str, str]]]
+    key_cols: list[str] = dc_field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# executor-side Arrow kernel (shared by all three read surfaces)
+# ---------------------------------------------------------------------------
+
+
+def _load_projected(
+    root: str,
+    files: list[tuple[str, int, str]],
+    histories: dict[int, list[tuple[int, str, str]]],
+    target_fields: list[tuple[int, str, str, object]],
+    with_delta_cols: bool,
+):
+    """Read a file set and project every file onto the target schema by
+    field id (cast widened types, backfill added columns with their
+    declared default). ``with_delta_cols`` carries ``__op``/``__lsn``
+    through — base files get the E/-1 tagging the JVM read path uses."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tables = []
+    for relpath, schema_version, kind in files:
+        tbl = pq.read_table(os.path.join(root, relpath))
+        old_by_id = {fid: (name, t) for fid, name, t in histories[schema_version]}
+        cols, names = [], []
+        for fid, name, tname, default in target_fields:
+            at = _arrow_type(tname)
+            old = old_by_id.get(fid)
+            if old is None:  # column postdates this file: backfill
+                col = (
+                    pa.nulls(len(tbl), type=at)
+                    if default is None
+                    else pa.array([default] * len(tbl)).cast(at)
+                )
+            else:
+                col = tbl.column(old[0])
+                if col.type != at:
+                    col = pc.cast(col, at)
+            cols.append(col)
+            names.append(name)
+        if with_delta_cols:
+            if kind == "delta":
+                cols += [
+                    pc.cast(tbl.column("__op"), pa.string()),
+                    pc.cast(tbl.column("__lsn"), pa.int64()),
+                ]
+            else:  # base rows: op E at LSN -1, losers to any delta
+                cols += [
+                    pa.array(["E"] * len(tbl), pa.string()),
+                    pa.array([-1] * len(tbl), pa.int64()),
+                ]
+            names += ["__op", "__lsn"]
+        tables.append(pa.table(cols, names=names))
+    if not tables:
+        import pyarrow as pa
+
+        fields = [(name, _arrow_type(t)) for _, name, t, _ in target_fields]
+        if with_delta_cols:
+            fields += [("__op", pa.string()), ("__lsn", pa.int64())]
+        return pa.table(
+            {n: pa.nulls(0, type=t) for n, t in fields},
+        )
+    return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+
+
+def _lww_winners(tbl, key_cols: list[str]):
+    """One winner row per key by max ``__lsn`` (keeps ``__op``).
+
+    Mirrors ``LakeTable._read_state``'s ``max_by(struct(...), __lsn)``
+    aggregate, but entirely inside one bucket (bucketing co-locates
+    keys, so no exchange is needed). LSNs are unique per key (the merge
+    dedupes each batch and the log orders batches), so the equality
+    join matches exactly one row per key; a duplicated (key, lsn) would
+    mirror ``max_by``'s arbitrary-tie behavior — the guard keeps one.
+    """
+    import pyarrow.compute as pc
+
+    agg = tbl.group_by(key_cols).aggregate([("__lsn", "max")])
+    joined = tbl.join(agg, keys=key_cols, join_type="inner")
+    winners = joined.filter(pc.equal(joined["__lsn"], joined["__lsn_max"]))
+    if len(winners) > len(agg):  # (key, lsn) tie — keep one row per key
+        import pandas as pd
+        import pyarrow as pa
+
+        df = winners.to_pandas(types_mapper=pd.ArrowDtype)
+        winners = pa.Table.from_pandas(
+            df.drop_duplicates(subset=key_cols), preserve_index=False
+        )
+    return winners
+
+
+def _load_state(
+    root, files, histories, target_fields, key_cols, out_schema
+):
+    """One bucket's row state: projected files, LWW-folded if the set
+    holds merge-on-read deltas, delete markers dropped."""
+    import pyarrow.compute as pc
+
+    have_deltas = any(kind == "delta" for _, _, kind in files)
+    tbl = _load_projected(root, files, histories, target_fields, have_deltas)
+    if have_deltas:
+        winners = _lww_winners(tbl, key_cols)
+        tbl = winners.filter(pc.not_equal(winners["__op"], "D")).select(
+            out_schema.names
+        )
+    return tbl.cast(out_schema)
+
+
+def _null_safe_any_diff(tbl, cols: list[str]):
+    """True where any payload column differs from its ``__old_`` twin,
+    with null == null (Spark's struct-comparison semantics, which
+    ``LakeTable.changes`` relies on)."""
+    import pyarrow.compute as pc
+
+    any_diff = None
+    for c in cols:
+        a, b = tbl[c], tbl[f"__old_{c}"]
+        eq = pc.fill_null(
+            pc.or_kleene(pc.equal(a, b), pc.and_(pc.is_null(a), pc.is_null(b))),
+            False,
+        )
+        d = pc.invert(eq)
+        any_diff = d if any_diff is None else pc.or_(any_diff, d)
+    return any_diff
+
+
+def _feed_schema_arrow(target_fields, key_cols):
+    import pyarrow as pa
+
+    by_name = {name: tname for _, name, tname, _ in target_fields}
+    payload = [n for _, n, _, _ in target_fields if n not in key_cols]
+    return pa.schema(
+        [(k, _arrow_type(by_name[k])) for k in key_cols]
+        + [(CHANGE_OP_COL, pa.string())]
+        + [(c, _arrow_type(by_name[c])) for c in payload]
+    )
+
+
+def _read_changes_partition(partition: ChangesPartition):
+    """The change rows of one bucket — both kernels emit exactly the
+    rows ``LakeTable.changes`` would (parity-tested): I for new keys,
+    D (payload nulls) for removed keys, U for payload changes; no-op
+    updates and deletes of never-existing keys emit nothing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tf, keys = partition.target_fields, partition.key_cols
+    payload = [n for _, n, _, _ in tf if n not in keys]
+    out_schema = _feed_schema_arrow(tf, keys)
+    state_schema = pa.schema([(name, _arrow_type(t)) for _, name, t, _ in tf])
+    old = _load_state(
+        partition.root, partition.old_files, partition.histories, tf, keys, state_schema
+    )
+    # rename old payload out of the way of the join
+    old = old.rename_columns(keys + [f"__old_{c}" for c in payload])
+    old = old.append_column("__in_old", pa.array([True] * len(old), type=pa.bool_()))
+
+    if partition.mor:
+        deltas = _load_projected(
+            partition.root, partition.new_files, partition.histories, tf, True
+        ).cast(
+            pa.schema(
+                list(state_schema) + [pa.field("__op", pa.string()), pa.field("__lsn", pa.int64())]
+            )
+        )
+        w = _lww_winners(deltas, keys)
+        j = w.join(old, keys=keys, join_type="left outer")
+        in_old = pc.fill_null(j["__in_old"], False)
+        is_del = pc.equal(j["__op"], "D")
+        differs = (
+            _null_safe_any_diff(j, payload)
+            if payload
+            else pa.array([False] * len(j), type=pa.bool_())
+        )
+        op = pc.if_else(
+            pc.and_(pc.invert(in_old), pc.invert(is_del)),
+            pa.scalar("I"),
+            pc.if_else(
+                pc.and_(in_old, is_del),
+                pa.scalar("D"),
+                pc.if_else(pc.and_(in_old, differs), pa.scalar("U"), pa.scalar(None, pa.string())),
+            ),
+        )
+    else:
+        new = _load_state(
+            partition.root, partition.new_files, partition.histories, tf, keys, state_schema
+        )
+        new = new.append_column("__in_new", pa.array([True] * len(new), type=pa.bool_()))
+        j = new.join(old, keys=keys, join_type="full outer")
+        in_old = pc.fill_null(j["__in_old"], False)
+        in_new = pc.fill_null(j["__in_new"], False)
+        differs = (
+            _null_safe_any_diff(j, payload)
+            if payload
+            else pa.array([False] * len(j), type=pa.bool_())
+        )
+        is_del = pc.invert(in_new)
+        op = pc.if_else(
+            pc.invert(in_old),
+            pa.scalar("I"),
+            pc.if_else(
+                is_del,
+                pa.scalar("D"),
+                pc.if_else(pc.and_(in_new, differs), pa.scalar("U"), pa.scalar(None, pa.string())),
+            ),
+        )
+
+    j = j.append_column(CHANGE_OP_COL, op)
+    j = j.filter(pc.is_valid(j[CHANGE_OP_COL]))
+    # D rows surface null payload (the new side has no row / is a marker)
+    is_d = pc.equal(j[CHANGE_OP_COL], "D")
+    cols = []
+    for name in out_schema.names:
+        if name == CHANGE_OP_COL:
+            cols.append(j[CHANGE_OP_COL])
+        elif name in keys:
+            cols.append(j[name])
+        else:
+            at = out_schema.field(name).type
+            cols.append(pc.if_else(is_d, pa.scalar(None, at), pc.cast(j[name], at)))
+    return pa.table(cols, names=out_schema.names).cast(out_schema)
+
+
+# ---------------------------------------------------------------------------
+# driver-side planning shared by batch + stream change feeds
+# ---------------------------------------------------------------------------
+
+
+def _pack_files(files):
+    return [(f.path, f.schema_version, f.kind) for f in files]
+
+
+def _plan_changes(
+    root: str, snap_from: Snapshot, snap_to: Snapshot
+) -> list[ChangesPartition]:
+    """Metadata-only plan of a change-feed scan: manifest-list compare →
+    changed buckets → per-bucket (old, new-or-delta) file groups.
+    Mirrors ``LakeTable.changes``'s pruning and its merge-on-read fast
+    path (pure delta-append range ⇒ classify range winners against the
+    old state; anything rewritten ⇒ full state diff)."""
+    proj = (
+        snap_to
+        if snap_to.schema.schema_version >= snap_from.schema.schema_version
+        else snap_from
+    )
+    target = [(f.id, f.name, f.type, f.default) for f in proj.schema.fields]
+    # histories accumulate monotonically: the LATER snapshot covers all
+    # schema versions either side's files can carry
+    hist_src = (
+        snap_to if snap_to.version >= snap_from.version else snap_from
+    )
+    histories = {
+        sv: [(f.id, f.name, f.type) for f in s.fields]
+        for sv, s in hist_src.schema_history.items()
+    }
+    keys = list(proj.key_cols)
+    removed, added = snapshot_file_delta(snap_from, snap_to)
+    mor = (
+        not removed
+        and bool(added)
+        and all(f.kind == "delta" for f in added)
+        and os.environ.get("PANORAMA_CHANGES_MOR_FAST", "1") != "0"
+    )
+    parts: list[ChangesPartition] = []
+    if mor:
+        by_bucket: dict[int, list] = {}
+        for f in added:
+            by_bucket.setdefault(f.bucket, []).append(f)
+        for b, dfs in sorted(by_bucket.items()):
+            parts.append(
+                ChangesPartition(
+                    bucket=b,
+                    old_files=_pack_files(snap_from.files_in_buckets({b})),
+                    new_files=_pack_files(dfs),
+                    mor=True,
+                    root=root,
+                    target_fields=target,
+                    histories=histories,
+                    key_cols=keys,
+                )
+            )
+    else:
+        for b in sorted(snapshot_changed_buckets(snap_from, snap_to)):
+            parts.append(
+                ChangesPartition(
+                    bucket=b,
+                    old_files=_pack_files(snap_from.files_in_buckets({b})),
+                    new_files=_pack_files(snap_to.files_in_buckets({b})),
+                    mor=False,
+                    root=root,
+                    target_fields=target,
+                    histories=histories,
+                    key_cols=keys,
+                )
+            )
+    return parts
+
+
+def _empty_changes_partition(root: str, snap: Snapshot) -> ChangesPartition:
+    return ChangesPartition(
+        bucket=-1,
+        old_files=[],
+        new_files=[],
+        mor=False,
+        root=root,
+        target_fields=[(f.id, f.name, f.type, f.default) for f in snap.schema.fields],
+        histories={
+            sv: [(f.id, f.name, f.type) for f in s.fields]
+            for sv, s in snap.schema_history.items()
+        },
+        key_cols=list(snap.key_cols),
+    )
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+
 class PanoramaReader(DataSourceReader):
+    """State read: the table's committed rows at a snapshot."""
+
     def __init__(self, root: str, options):
         self.root = root
-        io_err = FileNotFoundError(f"no lake table at {root}")
         log = SnapshotLog(root)
         if not log.exists():
-            raise io_err
+            raise FileNotFoundError(f"no lake table at {root}")
         version = options.get("version")
         self.snap = (
             log.read_current() if version is None else log.read_version(int(version))
         )
         assert self.snap is not None
-        self.snap.bind(log.io, root)
         self.with_deltas = str(options.get("with_deltas", "true")).lower() != "false"
         self._allowed_buckets: set[int] | None = None
 
@@ -205,99 +576,118 @@ class PanoramaReader(DataSourceReader):
 
     def read(self, partition: BucketPartition):
         import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         tf = partition.target_fields
         out_schema = pa.schema([(name, _arrow_type(t)) for _, name, t, _ in tf])
         if not partition.files:
             return iter(())
-        delta_cols = [("__op", pa.string()), ("__lsn", pa.int64())]
-        have_deltas = any(kind == "delta" for _, _, kind in partition.files)
-
-        def load(relpath: str, schema_version: int, kind: str) -> pa.Table:
-            tbl = pq.read_table(os.path.join(partition.root, relpath))
-            old_by_id = {
-                fid: (name, t)
-                for fid, name, t in partition.histories[schema_version]
-            }
-            cols, names = [], []
-            for fid, name, tname, default in tf:
-                at = _arrow_type(tname)
-                old = old_by_id.get(fid)
-                if old is None:  # column postdates this file: backfill
-                    col = (
-                        pa.nulls(len(tbl), type=at)
-                        if default is None
-                        else pa.array([default] * len(tbl)).cast(at)
-                    )
-                else:
-                    col = tbl.column(old[0])
-                    if col.type != at:
-                        col = pc.cast(col, at)
-                cols.append(col)
-                names.append(name)
-            if have_deltas:
-                if kind == "delta":
-                    cols += [
-                        pc.cast(tbl.column("__op"), pa.string()),
-                        pc.cast(tbl.column("__lsn"), pa.int64()),
-                    ]
-                else:  # base rows: op E at LSN -1, losers to any delta
-                    cols += [
-                        pa.array(["E"] * len(tbl), pa.string()),
-                        pa.array([-1] * len(tbl), pa.int64()),
-                    ]
-                names += [n for n, _ in delta_cols]
-            return pa.table(cols, names=names)
-
-        tables = [load(p, sv, k) for p, sv, k in partition.files]
-        tbl = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
-
-        if have_deltas:
-            tbl = _lww_fold(tbl, partition.key_cols, out_schema)
-        return iter(tbl.cast(out_schema).to_batches(max_chunksize=1 << 16))
+        tbl = _load_state(
+            partition.root,
+            partition.files,
+            partition.histories,
+            tf,
+            partition.key_cols,
+            out_schema,
+        )
+        return iter(tbl.to_batches(max_chunksize=1 << 16))
 
 
-def _lww_fold(tbl, key_cols: list[str], out_schema):
-    """Partition-local last-writer-wins fold of base + delta rows.
+class PanoramaChangesReader(DataSourceReader):
+    """Batch change feed: ``.option("changes_from", v)`` — the I/U/D
+    rows between two snapshots, ``LakeTable.changes`` parity."""
 
-    Mirrors ``LakeTable._read_state``'s ``max_by(struct(...), __lsn)``
-    aggregate, but entirely inside one bucket (bucketing co-locates
-    keys, so no exchange is needed): the max ``__lsn`` per key selects
-    the winner row, delete markers drop. LSNs are unique per key (the
-    merge dedupes each batch and the log orders batches), so the
-    equality join below matches exactly one row per key; a duplicated
-    (key, lsn) would mirror ``max_by``'s arbitrary-tie behavior — the
-    guard keeps the first.
-    """
-    import pyarrow.compute as pc
+    def __init__(self, root: str, options):
+        self.root = root
+        log = SnapshotLog(root)
+        if not log.exists():
+            raise FileNotFoundError(f"no lake table at {root}")
+        self.snap_from = log.read_version(int(options.get("changes_from")))
+        to_v = options.get("changes_to")
+        self.snap_to = (
+            log.read_current() if to_v is None else log.read_version(int(to_v))
+        )
 
-    agg = tbl.group_by(key_cols).aggregate([("__lsn", "max")])
-    joined = tbl.join(agg, keys=key_cols, join_type="inner")
-    winners = joined.filter(pc.equal(joined["__lsn"], joined["__lsn_max"]))
-    if len(winners) > len(agg):  # (key, lsn) tie — keep one row per key
-        import pandas as pd
+    def partitions(self) -> list[InputPartition]:
+        parts = _plan_changes(self.root, self.snap_from, self.snap_to)
+        return parts or [_empty_changes_partition(self.root, self.snap_to)]
 
-        df = winners.to_pandas(types_mapper=pd.ArrowDtype)
-        winners = _pa_from_pandas(df.drop_duplicates(subset=key_cols))
-    winners = winners.filter(pc.not_equal(winners["__op"], "D"))
-    return winners.select(out_schema.names)
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["snap_from"] = state["snap_to"] = None
+        return state
+
+    def read(self, partition: ChangesPartition):
+        if not partition.old_files and not partition.new_files:
+            return iter(())
+        return iter(
+            _read_changes_partition(partition).to_batches(max_chunksize=1 << 16)
+        )
 
 
-def _pa_from_pandas(df):
-    import pyarrow as pa
+class PanoramaStreamReader(DataSourceStreamReader):
+    """Streaming change feed: offsets are snapshot versions; each
+    micro-batch emits ``changes(start, end)`` with the same bucket-local
+    kernel as the batch feed. Exactly-once downstream comes from Spark's
+    offset checkpointing; this source is deterministic per (start, end)
+    because snapshots and data files are immutable."""
 
-    return pa.Table.from_pandas(df, preserve_index=False)
+    def __init__(self, root: str, options):
+        self.root = root
+        self.log = SnapshotLog(root)
+        if not self.log.exists():
+            raise FileNotFoundError(f"no lake table at {root}")
+        self.starting_version = options.get("starting_version")
+
+    def initialOffset(self) -> dict:
+        if self.starting_version is not None:
+            return {"version": int(self.starting_version)}
+        v = self.log.current_version()
+        assert v is not None
+        return {"version": v}  # forward-only by default (Delta CDF model)
+
+    def latestOffset(self) -> dict:
+        v = self.log.current_version()
+        assert v is not None
+        return {"version": v}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v0 >= v1:
+            return [_empty_changes_partition(self.root, self.log.read_version(v1))]
+        parts = _plan_changes(
+            self.root, self.log.read_version(v0), self.log.read_version(v1)
+        )
+        return parts or [_empty_changes_partition(self.root, self.log.read_version(v1))]
+
+    def read(self, partition: ChangesPartition):
+        if not partition.old_files and not partition.new_files:
+            return iter(())
+        return iter(
+            _read_changes_partition(partition).to_batches(max_chunksize=1 << 16)
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are immutable; retention is expire_snapshots'
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["log"] = None  # read() uses only the partition payload
+        return state
+
+
+# ---------------------------------------------------------------------------
+# the data source
+# ---------------------------------------------------------------------------
 
 
 class PanoramaDataSource(DataSource):
     """``format("panorama")``: read a lake table root as a DataFrame.
 
     Register once per session (``spark.dataSource.register``, or
-    ``catalog.register_data_source``); persisted catalog entries created
-    with ``USING panorama`` then resolve in any later session that has
-    registered the source.
+    ``catalog.register_data_source``). Options select the surface:
+    none/``version`` → state read; ``changes_from``/``changes_to`` →
+    batch change feed; ``change_feed=true`` (readStream) → streaming
+    change feed.
     """
 
     @classmethod
@@ -310,7 +700,20 @@ class PanoramaDataSource(DataSource):
             raise ValueError(
                 "format('panorama') needs a table root: .load('/path/to/table')"
             )
+        # SQL DDL (CREATE TABLE ... USING panorama) hands the location
+        # back as a file: URI; the FileIO layer works on plain paths
+        if path.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            parsed = urlparse(path)
+            path = unquote(parsed.path)
         return path
+
+    def _is_feed(self) -> bool:
+        return (
+            self.options.get("changes_from") is not None
+            or str(self.options.get("change_feed", "false")).lower() == "true"
+        )
 
     def schema(self) -> StructType:
         log = SnapshotLog(self._root())
@@ -320,7 +723,32 @@ class PanoramaDataSource(DataSource):
         )
         if snap is None:
             raise FileNotFoundError(f"no lake table at {self._root()}")
+        if self._is_feed():
+            from_v = self.options.get("changes_from")
+            proj = snap
+            if from_v is not None:
+                snap_from = log.read_version(int(from_v))
+                if snap_from.schema.schema_version > snap.schema.schema_version:
+                    proj = snap_from
+            keys = list(proj.key_cols)
+            struct = proj.schema.to_struct()
+            return StructType(
+                [f for f in struct.fields if f.name in keys]
+                + [StructField(CHANGE_OP_COL, StringType())]
+                + [f for f in struct.fields if f.name not in keys]
+            )
         return snap.schema.to_struct()
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("changes_from") is not None:
+            return PanoramaChangesReader(self._root(), self.options)
         return PanoramaReader(self._root(), self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if not self._is_feed():
+            raise ValueError(
+                "streaming a panorama table means streaming its change feed: "
+                "add .option('change_feed', 'true') so the stream's schema "
+                "is the feed schema (keys, change_op, payload)"
+            )
+        return PanoramaStreamReader(self._root(), self.options)
