@@ -125,20 +125,33 @@ class DataFile:
     # "base" = compacted row state; "delta" = merge-on-read change file
     # (schema columns + __op/__lsn, folded into reads until compaction)
     kind: str = "base"
+    # zone map: stats_key -> [lower, upper, null_count] (see
+    # lakehouse/filestats.py; keys are str(field_id) or "__lsn"; absent
+    # or None = no skipping on this file). Lives in the immutable
+    # manifest files only — the snapshot document never inlines it.
+    stats: dict | None = None
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "bucket": self.bucket,
             "rows": self.rows,
             "schema_version": self.schema_version,
             "kind": self.kind,
         }
+        if self.stats:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_dict(d: dict) -> "DataFile":
         return DataFile(
-            d["path"], d["bucket"], d["rows"], d["schema_version"], d.get("kind", "base")
+            d["path"],
+            d["bucket"],
+            d["rows"],
+            d["schema_version"],
+            d.get("kind", "base"),
+            d.get("stats"),
         )
 
 

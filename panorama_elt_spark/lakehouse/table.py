@@ -60,20 +60,178 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
-def _parquet_row_counts(paths: list[str]) -> dict[str, int]:
-    """Footer-only row counts (metadata read, no data scan) — the
-    fallback manifest-stats path for roots executors cannot write as
-    POSIX paths (the primary path collects stats from the write tasks
-    themselves, ``_task_write_fn``)."""
+def _stat_columns(snap: "Snapshot", df_columns: list[str]) -> list[tuple[str, str, str]]:
+    """(column, ddl_type, stats_key) rows for the zone-map collectors:
+    every orderable schema column present in the write, keyed by field
+    id (rename-safe), plus the merge-on-read ``__lsn`` bookkeeping
+    column keyed by its literal name."""
+    from .filestats import ORDERABLE_TYPES
+
+    out = [
+        (f.name, f.type, str(f.id))
+        for f in snap.schema.fields
+        if f.name in df_columns and f.type in ORDERABLE_TYPES
+    ]
+    if "__lsn" in df_columns:
+        out.append(("__lsn", "bigint", "__lsn"))
+    return out
+
+
+def _prune_files_for_state(
+    snap: "Snapshot", files: list["DataFile"], predicates: list[tuple[str, str, object]]
+) -> list["DataFile"]:
+    """Zone-map file skipping for a state read: ``filestats.prune_files``
+    containment plus the merge-on-read safety rule. Key-column
+    predicates prune ANY file — a key's value is identical in every row
+    and file that holds the key, so a file whose key window excludes the
+    predicate holds no contributing row. Payload predicates prune BASE
+    files only: a delta row always outranks base (base folds in at
+    ``__lsn = -1``) and carries the full payload, so a pruned base file
+    can never change a surviving key's winner — whereas pruning a delta
+    file could resurrect a superseded (or deleted) base row whose stale
+    payload happens to match. Callers re-apply the full predicate on the
+    DataFrame; pruning is planning-only and conservative."""
+    if not predicates:
+        return files
+    from .filestats import file_may_match
+
+    types_by_key = {str(f.id): f.type for f in snap.schema.fields}
+    by_name = {f.name: f for f in snap.schema.fields}
+    key_preds: list[tuple[str, str, object]] = []
+    payload_preds: list[tuple[str, str, object]] = []
+    for col, op, value in predicates:
+        fld = by_name.get(col)
+        if fld is None:
+            continue  # unknown column: no pruning on this pred
+        row = (str(fld.id), op, value)
+        (key_preds if fld.name in snap.key_cols else payload_preds).append(row)
+    out = []
+    for f in files:
+        preds = key_preds + (payload_preds if f.kind == "base" else [])
+        if file_may_match(f.stats, f.rows, preds, types_by_key):
+            out.append(f)
+    return out
+
+
+def normalize_pred_tz(predicates, session_tz: str | None):
+    """Attach the session time zone to naive datetime predicate values.
+    The writers store timestamp bounds tz-aware (Spark timestamps are
+    instants; Arrow hands them back UTC-anchored), and filestats treats
+    an aware↔naive comparison as undecidable (keeps the file) — so a
+    naive caller value would disable timestamp skipping entirely. A
+    naive literal means session-tz wall time in Spark, which is exactly
+    this coercion. Unparseable zones degrade to no-op (conservative)."""
+    import datetime as _dt
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo(session_tz) if session_tz else None
+    except Exception:
+        tz = None
+    if tz is None:
+        return predicates
+
+    def fix(v):
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=tz)
+        return v
+
+    out = []
+    for col, op, value in predicates:
+        if op == "in":
+            value = [fix(v) for v in value]
+        else:
+            value = fix(value)
+        out.append((col, op, value))
+    return out
+
+
+def _pred_column_expr(col: str, op: str, value):
+    """One ``(col, op, value)`` predicate as a Spark Column (the residual
+    filter ``read_where`` re-applies after conservative file pruning)."""
+    c = F.col(col)
+    if op == "eq":
+        return c == F.lit(value)
+    if op == "lt":
+        return c < F.lit(value)
+    if op == "le":
+        return c <= F.lit(value)
+    if op == "gt":
+        return c > F.lit(value)
+    if op == "ge":
+        return c >= F.lit(value)
+    if op == "in":
+        return c.isin(list(value))
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
+    raise ValueError(f"unknown predicate op: {op!r}")
+
+
+def _parquet_footer_stats(
+    paths: list[str], stat_cols: list[tuple[str, str, str]]
+) -> dict[str, tuple[int, dict | None]]:
+    """Footer-only row counts + zone maps (metadata read, no data scan)
+    — the fallback manifest-stats path for roots executors cannot write
+    as POSIX paths and for small writes routed to the JVM writer (the
+    bulk path collects stats in the write tasks, ``_task_write_fn``).
+    Parquet footers carry per-row-group min/max/null-count; aggregating
+    them per file gives bounds identical in meaning to the task-side
+    ones."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    def count(p: str) -> tuple[str, int]:
-        return p, pq.ParquetFile(p).metadata.num_rows
+    from .filestats import encode_bound, truncate_lower, truncate_upper
+
+    by_name = {cname: (ddl, key) for cname, ddl, key in stat_cols}
+
+    def one(p: str) -> tuple[str, tuple[int, dict | None]]:
+        from .filestats import decode_bound
+
+        md = pq.ParquetFile(p).metadata
+        # key -> list of per-row-group (lo, hi, nulls); None bound/nulls
+        # = that group is unknown, which poisons the file's bound
+        groups: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in by_name:
+                    continue
+                ddl, key = by_name[name]
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    groups.setdefault(key, []).append((None, None, None))
+                    continue
+                lo, hi = encode_bound(st.min, ddl), encode_bound(st.max, ddl)
+                if ddl == "string":
+                    lo = None if lo is None else truncate_lower(lo)
+                    hi = None if hi is None else truncate_upper(hi)
+                groups.setdefault(key, []).append((lo, hi, st.null_count))
+        stats: dict[str, list] = {}
+        for key, per_group in groups.items():
+            ddl = next(d for _c, d, k in stat_cols if k == key)
+            los = [g[0] for g in per_group]
+            his = [g[1] for g in per_group]
+            nulls = [g[2] for g in per_group]
+            lo = None
+            if all(v is not None for v in los):
+                decoded = [(decode_bound(v, ddl), v) for v in los]
+                lo = min(decoded, key=lambda t: t[0])[1] if all(d is not None for d, _ in decoded) else None
+            hi = None
+            if all(v is not None for v in his):
+                decoded = [(decode_bound(v, ddl), v) for v in his]
+                hi = max(decoded, key=lambda t: t[0])[1] if all(d is not None for d, _ in decoded) else None
+            nc = sum(nulls) if all(v is not None for v in nulls) else None
+            stats[key] = [lo, hi, nc]
+        return p, (md.num_rows, stats or None)
 
     with ThreadPoolExecutor(max_workers=16) as ex:
-        return dict(ex.map(count, paths))
+        return dict(ex.map(one, paths))
 
 
 def root_is_shared_posix(root: str) -> bool:
@@ -94,16 +252,28 @@ def _task_write_fn(
     out_names: list[str],
     arrow_schema,
     flush_rows: int = 1 << 16,
+    stat_cols: list[tuple[str, str, str]] | None = None,
+    max_rows_per_file: int | None = None,
 ):
     """mapInArrow kernel: write this partition's rows as parquet files
     (one per bucket present), streaming row groups so a 100 TB-scale
     bucket never has to fit in task memory, and emit one manifest row
-    (path, bucket, rows) per file — per-file stats come from the write
-    task itself, not a driver-side walk of a shared directory (which
-    was both O(table-IO) on the commit path and racy under concurrent
-    same-version attempts)."""
+    (path, bucket, rows, stats) per file — per-file stats come from the
+    write task itself, not a driver-side walk of a shared directory
+    (which was both O(table-IO) on the commit path and racy under
+    concurrent same-version attempts).
+
+    ``stat_cols`` rows are (column, ddl_type, stats_key): the kernel
+    aggregates min/max/null-count per open file as the batches stream
+    through (zone maps, ``lakehouse/filestats.py``). With
+    ``max_rows_per_file`` the writer rolls to a fresh file at row-group
+    boundaries once a file crosses the cap — on sorted input (e.g.
+    ``compact(sort_by=...)``) rolled files carry disjoint bound windows,
+    which is exactly what makes the planner's file skipping bite."""
+    stat_cols = stat_cols or []
 
     def fn(batches):
+        import json as _json
         import os as _os
         import uuid as _uuid
 
@@ -111,14 +281,85 @@ def _task_write_fn(
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        writers: dict[int, tuple] = {}  # bucket -> (writer, rel_path, [buf], buf_rows, total)
-        part = _uuid.uuid4().hex[:16]
+        from panorama_elt_spark.lakehouse.filestats import (
+            encode_bound,
+            truncate_lower,
+            truncate_upper,
+        )
 
-        def flush(b):
-            writer, rel_path, buf, buf_rows, total = writers[b]
-            if buf:
-                writer.write_table(pa.Table.from_batches(buf, schema=arrow_schema))
-            writers[b] = (writer, rel_path, [], 0, total + buf_rows)
+        # bucket -> mutable file state
+        writers: dict[int, dict] = {}
+        part = _uuid.uuid4().hex[:16]
+        out_rows = []
+
+        def open_file(b: int, seq: int) -> dict:
+            bucket_dir = _os.path.join(abs_dir, f"bucket={b}")
+            _os.makedirs(bucket_dir, exist_ok=True)
+            name = f"part-{part}.parquet" if seq == 0 else f"part-{part}-{seq}.parquet"
+            return {
+                "writer": pq.ParquetWriter(
+                    _os.path.join(bucket_dir, name), arrow_schema, compression="snappy"
+                ),
+                "rel_path": f"{rel_dir}/bucket={b}/{name}",
+                "buf": [],
+                "buf_rows": 0,
+                "total": 0,
+                "seq": seq,
+                # stats_key -> [lo, hi, null_count] in python values
+                "mm": {},
+            }
+
+        def observe(st: dict, sub) -> None:
+            for cname, _ddl, key in stat_cols:
+                col = sub.column(cname)
+                cur = st["mm"].get(key)
+                if cur is None:
+                    cur = st["mm"][key] = [None, None, 0]
+                cur[2] += col.null_count
+                if col.null_count == len(col):
+                    continue
+                mm = pc.min_max(col).as_py()
+                lo, hi = mm["min"], mm["max"]
+                if cur[0] is None or (lo is not None and lo < cur[0]):
+                    cur[0] = lo
+                if cur[1] is None or (hi is not None and hi > cur[1]):
+                    cur[1] = hi
+
+        def finalize(st: dict, b: int) -> None:
+            st["writer"].close()
+            if st["total"] == 0:  # a rolled file no further rows reached
+                _os.remove(_os.path.join(abs_dir, st["rel_path"].removeprefix(rel_dir + "/")))
+                return
+            stats = {}
+            for _cname, ddl, key in stat_cols:
+                cur = st["mm"].get(key)
+                if cur is None:
+                    continue
+                lo, hi = encode_bound(cur[0], ddl), encode_bound(cur[1], ddl)
+                if ddl == "string":
+                    lo = None if lo is None else truncate_lower(lo)
+                    hi = None if hi is None else truncate_upper(hi)
+                stats[key] = [lo, hi, cur[2]]
+            out_rows.append(
+                {
+                    "path": st["rel_path"],
+                    "bucket": b,
+                    "rows": st["total"],
+                    "stats": _json.dumps(stats) if stats else None,
+                }
+            )
+
+        def flush(b, roll: bool):
+            st = writers[b]
+            if st["buf"]:
+                st["writer"].write_table(
+                    pa.Table.from_batches(st["buf"], schema=arrow_schema)
+                )
+                st["total"] += st["buf_rows"]
+                st["buf"], st["buf_rows"] = [], 0
+            if roll and max_rows_per_file and st["total"] >= max_rows_per_file:
+                finalize(st, b)
+                writers[b] = open_file(b, st["seq"] + 1)
 
         for rb in batches:
             if rb.num_rows == 0:
@@ -136,28 +377,38 @@ def _task_write_fn(
                 )
                 sub = sub.select(out_names).cast(arrow_schema)
                 if b not in writers:
-                    bucket_dir = _os.path.join(abs_dir, f"bucket={b}")
-                    _os.makedirs(bucket_dir, exist_ok=True)
-                    rel_path = f"{rel_dir}/bucket={b}/part-{part}.parquet"
-                    writer = pq.ParquetWriter(
-                        _os.path.join(abs_dir, f"bucket={b}", f"part-{part}.parquet"),
-                        arrow_schema,
-                        compression="snappy",
-                    )
-                    writers[b] = (writer, rel_path, [], 0, 0)
-                writer, rel_path, buf, buf_rows, total = writers[b]
-                writers[b] = (writer, rel_path, buf + sub.to_batches(), buf_rows + sub.num_rows, total)
-                if writers[b][3] >= flush_rows:
-                    flush(b)
-        out_rows = []
+                    writers[b] = open_file(b, 0)
+                # slice the batch to the open file's remaining capacity
+                # (zero-copy) so rolled files honor max_rows_per_file
+                # exactly — on sorted input that is what makes their
+                # zone-map windows disjoint
+                while sub.num_rows:
+                    st = writers[b]
+                    take = sub.num_rows
+                    if max_rows_per_file:
+                        room = max_rows_per_file - (st["total"] + st["buf_rows"])
+                        take = min(take, max(room, 1))
+                    piece = sub.slice(0, take)
+                    sub = sub.slice(take)
+                    observe(st, piece)
+                    st["buf"].extend(piece.to_batches())
+                    st["buf_rows"] += piece.num_rows
+                    if st["buf_rows"] >= flush_rows or (
+                        max_rows_per_file
+                        and st["total"] + st["buf_rows"] >= max_rows_per_file
+                    ):
+                        flush(b, roll=True)
         for b in list(writers):
-            flush(b)
-            writer, rel_path, _buf, _n, total = writers[b]
-            writer.close()
-            out_rows.append({"path": rel_path, "bucket": b, "rows": total})
+            flush(b, roll=False)
+            finalize(writers[b], b)
         if out_rows:
             manifest_schema = pa.schema(
-                [("path", pa.string()), ("bucket", pa.int32()), ("rows", pa.int64())]
+                [
+                    ("path", pa.string()),
+                    ("bucket", pa.int32()),
+                    ("rows", pa.int64()),
+                    ("stats", pa.string()),
+                ]
             )
             yield pa.RecordBatch.from_pylist(out_rows, schema=manifest_schema)
 
@@ -312,9 +563,15 @@ class LakeTable:
         buckets: set[int] | None = None,
         version: int | None = None,
         with_deltas: bool = True,
+        predicates: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state; ``buckets`` prunes the scan to
         the named buckets only — the merge path's file pruning.
+        ``predicates`` rows are ``(column, op, value)`` with op in
+        ``eq|lt|le|gt|ge|in|isnull|notnull`` — zone-map file skipping
+        only (``filestats``): files whose stats windows exclude the
+        predicate never plan a task, but surviving files' rows are NOT
+        filtered — use ``read_where`` for prune + residual filter.
 
         Merge-on-read: if the snapshot holds delta files (written by the
         ``append_delta`` strategy), they are folded in here — base rows
@@ -322,7 +579,69 @@ class LakeTable:
         resolves the winner per key, delete markers drop. A compacted
         table (no deltas) reads with zero shuffle, exactly as before."""
         snap = self.snapshot if version is None else self.log.read_version(version)
-        return self._read_state(snap, snap, buckets, with_deltas)
+        return self._read_state(snap, snap, buckets, with_deltas, predicates)
+
+    def read_where(
+        self,
+        predicates: list[tuple[str, str, object]],
+        version: int | None = None,
+        with_deltas: bool = True,
+    ) -> DataFrame:
+        """Predicate read = metadata pruning + residual filter. Two
+        metadata levels act before any file IO: key-equality predicates
+        that pin every key column resolve to a bucket set driver-side
+        (the same Murmur3 the writer used — a point lookup plans one
+        bucket), then zone maps drop files whose [min,max] windows
+        exclude the conjunction. The full predicate is re-applied on the
+        DataFrame, so pruning can never change results — only skip IO.
+
+        At the 100 TB design point this is the difference between "one
+        task per live file" and "one task per file that can match": CDC
+        commits correlate file windows with ingestion time, so
+        time-range queries plan a sliver of the table.
+        """
+        snap = self.snapshot if version is None else self.log.read_version(version)
+        predicates = normalize_pred_tz(
+            predicates, self.spark.conf.get("spark.sql.session.timeZone")
+        )
+        buckets: set[int] | None = None
+        from ..functions.murmur import SUPPORTED_TYPES, bucket_of
+
+        types_by_col = {f.name: f.type for f in snap.schema.fields}
+        if all(types_by_col.get(c) in SUPPORTED_TYPES for c in snap.key_cols):
+            value_sets: dict[str, set] = {}
+            for col, op, value in predicates:
+                if col not in snap.key_cols:
+                    continue
+                if op == "eq":
+                    vals = {value}
+                elif op == "in":
+                    vals = set(value)
+                else:
+                    continue
+                value_sets[col] = (
+                    vals if col not in value_sets else value_sets[col] & vals
+                )
+            if set(value_sets) == set(snap.key_cols):
+                combos = 1
+                for vs in value_sets.values():
+                    combos *= len(vs)
+                if combos <= 1024:
+                    from itertools import product
+
+                    types = [types_by_col[c] for c in snap.key_cols]
+                    buckets = {
+                        bucket_of(list(combo), types, snap.n_buckets)
+                        for combo in product(
+                            *[sorted(value_sets[c]) for c in snap.key_cols]
+                        )
+                    }
+        df = self._read_state(snap, snap, buckets, with_deltas, predicates)
+        cond = None
+        for col, op, value in predicates:
+            e = _pred_column_expr(col, op, value)
+            cond = e if cond is None else cond & e
+        return df if cond is None else df.filter(cond)
 
     def _read_state(
         self,
@@ -330,6 +649,7 @@ class LakeTable:
         proj: Snapshot,
         buckets: set[int] | None = None,
         with_deltas: bool = True,
+        predicates: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
         """``snap``'s row state projected onto ``proj``'s schema (the
         field-id mapper reads any file under any historical schema, so
@@ -338,6 +658,8 @@ class LakeTable:
         must cover every file's schema_version; any later snapshot does
         (history accumulates monotonically)."""
         files = snap.files if buckets is None else snap.files_in_buckets(buckets)
+        if predicates:
+            files = _prune_files_for_state(proj, files, predicates)
         base = self._read_mapped(proj, [f for f in files if f.kind == "base"])
         delta_files = [f for f in files if f.kind == "delta"]
         if not delta_files or not with_deltas:
@@ -416,6 +738,8 @@ class LakeTable:
         pre_partitioned: bool = False,
         kind: str = "base",
         size_hint_rows: int | None = None,
+        sort_within: list[str] | None = None,
+        max_rows_per_file: int | None = None,
     ) -> list[DataFile]:
         """Write ``df`` (current-schema columns) hash-partitioned by
         bucket into a per-attempt unique directory
@@ -453,6 +777,11 @@ class LakeTable:
         out = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
         if not pre_partitioned:
             out = out.repartition(min(snap.n_buckets, 64), F.col(BUCKET_COL))
+        if sort_within:
+            # cluster rows inside each bucket partition (one Tungsten
+            # sort, no extra exchange) so the rolled files' zone maps
+            # carry disjoint windows on the sort columns
+            out = out.sortWithinPartitions(F.col(BUCKET_COL), *[F.col(c) for c in sort_within])
         schema_version = snap.schema.schema_version
         min_rows = int(os.environ.get("PANORAMA_TASK_WRITE_MIN_ROWS", "100000"))
         task_write = (
@@ -460,7 +789,13 @@ class LakeTable:
             and root_is_shared_posix(self.root)
             and (size_hint_rows is None or size_hint_rows >= min_rows)
         )
+        stat_cols = _stat_columns(snap, df.columns)
+        if max_rows_per_file is None:
+            env_cap = os.environ.get("PANORAMA_MAX_ROWS_PER_FILE")
+            max_rows_per_file = int(env_cap) if env_cap else None
         if task_write:
+            import json
+
             from pyspark.sql.pandas.types import to_arrow_schema
 
             data_struct = df.schema  # caller already projected the columns
@@ -470,8 +805,10 @@ class LakeTable:
                     rel_dir,
                     [f.name for f in data_struct.fields],
                     to_arrow_schema(data_struct),
+                    stat_cols=stat_cols,
+                    max_rows_per_file=max_rows_per_file,
                 ),
-                "path string, bucket int, rows bigint",
+                "path string, bucket int, rows bigint, stats string",
             )
             # The JVM→Python hop costs ~nothing per *byte* but plenty per
             # *batch*: at Spark's default 10k-row Arrow batches the write
@@ -494,6 +831,7 @@ class LakeTable:
                     rows=int(r["rows"]),
                     schema_version=schema_version,
                     kind=kind,
+                    stats=json.loads(r["stats"]) if r["stats"] else None,
                 )
                 for r in manifest_rows
             ]
@@ -507,7 +845,7 @@ class LakeTable:
             if not parquet:
                 continue
             bucket = int(os.path.basename(dirpath).split("=", 1)[1])
-            for path, rows in _parquet_row_counts(parquet).items():
+            for path, (rows, stats) in _parquet_footer_stats(parquet, stat_cols).items():
                 files.append(
                     DataFile(
                         path=os.path.relpath(path, self.root),
@@ -515,6 +853,7 @@ class LakeTable:
                         rows=rows,
                         schema_version=schema_version,
                         kind=kind,
+                        stats=stats,
                     )
                 )
         return files
@@ -843,23 +1182,46 @@ class LakeTable:
 
     # ------------------------------------------------------------ maintenance
 
-    def compact(self, buckets: set[int] | None = None) -> int:
+    def compact(
+        self,
+        buckets: set[int] | None = None,
+        sort_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> int:
         """Fold merge-on-read delta files into base files (the Hudi/
         Iceberg compaction analogue). Only buckets that actually hold
         deltas are rewritten; returns how many were. Readers never
         block: compaction is one ordinary snapshot commit, and the
         pre-compaction read and post-compaction read are the same rows
-        by construction (the read path's fold IS the compaction plan)."""
+        by construction (the read path's fold IS the compaction plan).
+
+        ``sort_by`` turns the call into a *clustering* rewrite (Iceberg
+        ``rewrite_data_files`` with a sort order): the targeted buckets
+        (all live buckets when ``buckets`` is None) rewrite with rows
+        sorted inside each bucket and, with ``max_rows_per_file``,
+        rolled into bounded files — so the files' zone maps
+        (``filestats``) carry disjoint windows on the sort columns and
+        range predicates skip whole files at plan time."""
         snap = self.snapshot
-        delta_buckets = snap.delta_buckets()
-        if buckets is not None:
-            delta_buckets &= buckets
-        if not delta_buckets:
+        if sort_by is not None:
+            target = (
+                {f.bucket for f in snap.files} if buckets is None else set(buckets)
+            )
+        else:
+            target = snap.delta_buckets()
+            if buckets is not None:
+                target &= buckets
+        if not target:
             return 0
-        merged = self.read(buckets=delta_buckets)
-        new_files = self.write_bucket_files(merged, snap.version + 1)
-        self.commit_replace_buckets(snap, delta_buckets, new_files)
-        return len(delta_buckets)
+        merged = self.read(buckets=target)
+        new_files = self.write_bucket_files(
+            merged,
+            snap.version + 1,
+            sort_within=sort_by,
+            max_rows_per_file=max_rows_per_file,
+        )
+        self.commit_replace_buckets(snap, target, new_files)
+        return len(target)
 
     def drop(self) -> None:
         """K6: drop the table — data, snapshot log, everything under the

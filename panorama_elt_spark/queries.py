@@ -1623,6 +1623,74 @@ FROM j WHERE change_op IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# Zone-map pruned read — the lake's data-skipping layer end-to-end: load
+# the events table into a lake table, cluster-compact sorted by ts into
+# bounded files (disjoint [min,max] windows), then answer a time-range
+# aggregate through read_where, which plans only the files whose stats
+# windows intersect the range (lakehouse/filestats.py). The oracle is
+# the same aggregate straight off the parquet source — pruning must be
+# invisible in the result. Scale story: CDC commits correlate file
+# windows with ingestion time, so at 100 TB a time-range query plans a
+# sliver of the table instead of one task per live file.
+# ---------------------------------------------------------------------------
+
+
+def zm1_pruned_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import datetime
+    import shutil
+
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "event_id", "bigint", False),
+            Field(2, "ts", "timestamp"),
+            Field(3, "user_id", "bigint"),
+            Field(4, "event_type", "string"),
+            Field(5, "value", "double"),
+        ],
+        schema_version=1,
+    )
+    events = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = _scratch_root("zm1")
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, os.path.join(root, "events"), schema, ["event_id"], n_buckets=8
+    )
+    table.append(events)
+    table.compact(sort_by=["ts"], max_rows_per_file=1000)
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 15)
+    pruned = table.read_where([("ts", "ge", lo), ("ts", "lt", hi)])
+    # order-independent aggregates only (min/max/count) so the oracle
+    # compare is exact regardless of partial-agg combine order
+    return pruned.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+_ZM1_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1668,6 +1736,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_changes_mor": cdc_changes_mor,
         "cdc_changes_schema_evo": cdc_changes_schema_evo,
         "cdc_catalog_attach": cdc_catalog_attach,
+        "zm1_pruned_time_range": zm1_pruned_time_range,
     }
 
 
@@ -1717,4 +1786,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes_mor": _cdc_changes_sql(_cdc_changes_mor_root()),
         "cdc_catalog_attach": _lww_oracle_sql(f"{_cdc_catalog_root()}/log/*.parquet"),
         "cdc_changes_schema_evo": _cdc_changes_evo_sql(),
+        "zm1_pruned_time_range": _ZM1_SQL,
     }

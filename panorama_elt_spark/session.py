@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) writes no parquet column statistics
+        # for timestamps — MICROS keeps footer min/max alive, which the
+        # zone-map fallback (lakehouse/filestats.py) reads, and is the
+        # modern interop encoding (Iceberg/Delta write it too)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -70,8 +70,14 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -473,22 +479,58 @@ class PanoramaReader(DataSourceReader):
         assert self.snap is not None
         self.with_deltas = str(options.get("with_deltas", "true")).lower() != "false"
         self._allowed_buckets: set[int] | None = None
+        self._preds: list[tuple[str, str, object]] = []
+        try:  # session tz for naive-datetime predicate coercion
+            from pyspark.sql import SparkSession
+
+            s = SparkSession.getActiveSession()
+            self._session_tz = (
+                s.conf.get("spark.sql.session.timeZone") if s else None
+            )
+        except Exception:
+            self._session_tz = None
 
     # ------------------------------------------------------------ pruning
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Bucket pruning from key-equality predicates.
+        """Two metadata-level prunes from pushed predicates, both
+        planning-only (every filter returns *unhandled*, Spark re-applies
+        the full predicate, so pruning can never change results):
 
-        When every key column is pinned to a finite value set
-        (``EqualTo`` / ``In``), the Murmur3 bucket of each combination
-        is computed driver-side and the scan keeps only those buckets'
-        partitions — a point lookup touches one bucket's files. Every
-        filter is returned as *unhandled* so Spark still applies the
-        full predicate: pruning can drop no row that matches, because a
-        key's rows live only in its hash bucket (the merge writes with
-        the identical hash — ``table.bucket_expr``).
+        * **bucket pruning** — when every key column is pinned to a
+          finite value set (``EqualTo`` / ``In``), the Murmur3 bucket of
+          each combination is computed driver-side and the scan keeps
+          only those buckets' partitions — a point lookup touches one
+          bucket's files (a key's rows live only in its hash bucket,
+          the merge writes with the identical hash,
+          ``table.bucket_expr``);
+        * **zone-map file skipping** — comparison/null predicates
+          translate to ``lakehouse/filestats`` containment checks
+          against each file's manifest-stored [min,max,nulls] stats
+          (``_prune_files_for_state`` carries the merge-on-read safety
+          rule: payload predicates prune base files only).
         """
         snap = self.snap
+        for f in filters:
+            if len(f.attribute) != 1:
+                continue
+            col = f.attribute[0]
+            if isinstance(f, EqualTo):
+                self._preds.append((col, "eq", f.value))
+            elif isinstance(f, GreaterThan):
+                self._preds.append((col, "gt", f.value))
+            elif isinstance(f, GreaterThanOrEqual):
+                self._preds.append((col, "ge", f.value))
+            elif isinstance(f, LessThan):
+                self._preds.append((col, "lt", f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self._preds.append((col, "le", f.value))
+            elif isinstance(f, In):
+                self._preds.append((col, "in", list(f.value)))
+            elif isinstance(f, IsNull):
+                self._preds.append((col, "isnull", None))
+            elif isinstance(f, IsNotNull):
+                self._preds.append((col, "notnull", None))
         types_by_col = {f.name: f.type for f in snap.schema.fields}
         if all(types_by_col.get(c) in SUPPORTED_TYPES for c in snap.key_cols):
             value_sets: dict[str, set] = {}
@@ -529,6 +571,12 @@ class PanoramaReader(DataSourceReader):
             if self._allowed_buckets is None
             else snap.files_in_buckets(self._allowed_buckets)
         )
+        if self._preds:
+            from ..lakehouse.table import _prune_files_for_state, normalize_pred_tz
+
+            files = _prune_files_for_state(
+                snap, files, normalize_pred_tz(self._preds, self._session_tz)
+            )
         by_bucket: dict[int, list[tuple[str, int, str]]] = {}
         for f in files:
             if f.kind == "delta" and not self.with_deltas:
