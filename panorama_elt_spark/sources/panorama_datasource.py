@@ -33,6 +33,17 @@ Three read surfaces share one bucket-local Arrow kernel:
   ALTER that adds columns, restart the stream to widen the surface
   (standard streaming-schema semantics).
 
+And two write surfaces over the same bucket layout (``PanoramaWriter``
+/ ``PanoramaStreamSink`` below):
+
+* **batch write** — ``df.write.format("panorama").mode("append" |
+  "overwrite").save(root)``: atomic snapshot append / all-bucket swap;
+* **streaming upsert sink** — ``writeStream.format("panorama")`` over
+  change events (table columns + ``op``/``lsn``): each epoch lands as
+  merge-on-read delta files in one exactly-once commit, so
+  lake → readStream → transform → writeStream → lake is end-to-end
+  exactly-once in pure Spark API.
+
 Scale design:
 
 * one input partition per live/changed bucket — scan parallelism is the
@@ -66,8 +77,11 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -78,8 +92,9 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions.murmur import SUPPORTED_TYPES, bucket_of
 from ..lakehouse.snapshot import (
@@ -95,6 +110,7 @@ FORMAT_NAME = "panorama"
 _MAX_PRUNE_COMBOS = 1024
 
 CHANGE_OP_COL = "change_op"
+CHANGE_VERSION_COL = "change_version"
 
 
 def _arrow_type(type_name: str):
@@ -143,6 +159,11 @@ class ChangesPartition(InputPartition):
     target_fields: list[tuple[int, str, str, object]]
     histories: dict[int, list[tuple[int, str, str]]]
     key_cols: list[str] = dc_field(default_factory=list)
+    # when set, every emitted row carries this snapshot version in a
+    # ``change_version`` column (Delta CDF's _commit_version analogue);
+    # for a range spanning several commits it is the range's TO version
+    # — the state the row set is exact as-of
+    version: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +292,7 @@ def _null_safe_any_diff(tbl, cols: list[str]):
     return any_diff
 
 
-def _feed_schema_arrow(target_fields, key_cols):
+def _feed_schema_arrow(target_fields, key_cols, with_version: bool = False):
     import pyarrow as pa
 
     by_name = {name: tname for _, name, tname, _ in target_fields}
@@ -279,6 +300,7 @@ def _feed_schema_arrow(target_fields, key_cols):
     return pa.schema(
         [(k, _arrow_type(by_name[k])) for k in key_cols]
         + [(CHANGE_OP_COL, pa.string())]
+        + ([(CHANGE_VERSION_COL, pa.int64())] if with_version else [])
         + [(c, _arrow_type(by_name[c])) for c in payload]
     )
 
@@ -293,7 +315,7 @@ def _read_changes_partition(partition: ChangesPartition):
 
     tf, keys = partition.target_fields, partition.key_cols
     payload = [n for _, n, _, _ in tf if n not in keys]
-    out_schema = _feed_schema_arrow(tf, keys)
+    out_schema = _feed_schema_arrow(tf, keys, partition.version is not None)
     state_schema = pa.schema([(name, _arrow_type(t)) for _, name, t, _ in tf])
     old = _load_state(
         partition.root, partition.old_files, partition.histories, tf, keys, state_schema
@@ -360,6 +382,8 @@ def _read_changes_partition(partition: ChangesPartition):
     for name in out_schema.names:
         if name == CHANGE_OP_COL:
             cols.append(j[CHANGE_OP_COL])
+        elif name == CHANGE_VERSION_COL:
+            cols.append(pa.array([partition.version] * len(j), type=pa.int64()))
         elif name in keys:
             cols.append(j[name])
         else:
@@ -378,7 +402,10 @@ def _pack_files(files):
 
 
 def _plan_changes(
-    root: str, snap_from: Snapshot, snap_to: Snapshot
+    root: str,
+    snap_from: Snapshot,
+    snap_to: Snapshot,
+    include_version: bool = False,
 ) -> list[ChangesPartition]:
     """Metadata-only plan of a change-feed scan: manifest-list compare →
     changed buckets → per-bucket (old, new-or-delta) file groups.
@@ -424,6 +451,7 @@ def _plan_changes(
                     target_fields=target,
                     histories=histories,
                     key_cols=keys,
+                    version=snap_to.version if include_version else None,
                 )
             )
     else:
@@ -438,6 +466,7 @@ def _plan_changes(
                     target_fields=target,
                     histories=histories,
                     key_cols=keys,
+                    version=snap_to.version if include_version else None,
                 )
             )
     return parts
@@ -654,9 +683,14 @@ class PanoramaChangesReader(DataSourceReader):
         self.snap_to = (
             log.read_current() if to_v is None else log.read_version(int(to_v))
         )
+        self.include_version = (
+            str(options.get("include_version", "false")).lower() == "true"
+        )
 
     def partitions(self) -> list[InputPartition]:
-        parts = _plan_changes(self.root, self.snap_from, self.snap_to)
+        parts = _plan_changes(
+            self.root, self.snap_from, self.snap_to, self.include_version
+        )
         return parts or [_empty_changes_partition(self.root, self.snap_to)]
 
     def __getstate__(self):
@@ -685,6 +719,9 @@ class PanoramaStreamReader(DataSourceStreamReader):
         if not self.log.exists():
             raise FileNotFoundError(f"no lake table at {root}")
         self.starting_version = options.get("starting_version")
+        self.include_version = (
+            str(options.get("include_version", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
@@ -703,7 +740,10 @@ class PanoramaStreamReader(DataSourceStreamReader):
         if v0 >= v1:
             return [_empty_changes_partition(self.root, self.log.read_version(v1))]
         parts = _plan_changes(
-            self.root, self.log.read_version(v0), self.log.read_version(v1)
+            self.root,
+            self.log.read_version(v0),
+            self.log.read_version(v1),
+            self.include_version,
         )
         return parts or [_empty_changes_partition(self.root, self.log.read_version(v1))]
 
@@ -721,6 +761,348 @@ class PanoramaStreamReader(DataSourceStreamReader):
         state = dict(self.__dict__)
         state["log"] = None  # read() uses only the partition payload
         return state
+
+
+# ---------------------------------------------------------------------------
+# writers — the lake table as a Spark sink
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PanoramaWriteResult(WriterCommitMessage):
+    """One task's written files: (rel_path, bucket, rows, stats_json)."""
+
+    files: list
+    max_lsn: int | None = None
+
+
+def _write_partition_files(
+    root: str,
+    rel_dir: str,
+    batches,
+    target_fields: list[tuple[int, str, str, object]],
+    key_cols: list[str],
+    key_types: list[str],
+    n_buckets: int,
+    delta_in: tuple[str, str] | None,
+) -> tuple[list, int | None]:
+    """Executor kernel: stream one task's Arrow batches into per-bucket
+    parquet files under ``rel_dir``, observing zone-map stats as rows
+    pass (``lakehouse/filestats.py``). Buckets come from the pure-Python
+    Murmur3 (``functions/murmur.py``, bit-for-bit with ``F.hash``), so
+    the files this interop path writes are indistinguishable from the
+    library writer's. With ``delta_in = (op_col, lsn_col)`` the input's
+    change columns land as ``__op``/``__lsn`` and files are
+    merge-on-read deltas.
+
+    This is the *interop* write path (Spark cannot hand a Python data
+    source a pre-bucketed distribution, so each task hashes rows in
+    Python and may write one file per bucket it sees); the hot path
+    remains ``LakeTable.append``/``merge_batch``, which bucket with the
+    JVM hash and shuffle once. Same layout, same stats, same commit."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.murmur import bucket_of
+    from ..lakehouse.filestats import (
+        ORDERABLE_TYPES,
+        encode_bound,
+        truncate_lower,
+        truncate_upper,
+    )
+
+    out_fields = [(name, _arrow_type(t)) for _, name, t, _ in target_fields]
+    stat_cols = [
+        (name, t, str(fid))
+        for fid, name, t, _ in target_fields
+        if t in ORDERABLE_TYPES
+    ]
+    if delta_in:
+        out_fields += [("__op", pa.string()), ("__lsn", pa.int64())]
+        stat_cols.append(("__lsn", "bigint", "__lsn"))
+    arrow_schema = pa.schema(out_fields)
+    part = _uuid.uuid4().hex[:16]
+    abs_dir = _os.path.join(root, rel_dir)
+    writers: dict[int, dict] = {}
+    max_lsn: int | None = None
+
+    def observe(st: dict, sub) -> None:
+        for cname, _ddl, key in stat_cols:
+            col = sub.column(cname)
+            cur = st["mm"].setdefault(key, [None, None, 0])
+            cur[2] += col.null_count
+            if col.null_count == len(col):
+                continue
+            mm = pc.min_max(col).as_py()
+            lo, hi = mm["min"], mm["max"]
+            if cur[0] is None or (lo is not None and lo < cur[0]):
+                cur[0] = lo
+            if cur[1] is None or (hi is not None and hi > cur[1]):
+                cur[1] = hi
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        cols = []
+        for name, at in out_fields:
+            if delta_in and name == "__op":
+                col = tbl.column(delta_in[0])
+            elif delta_in and name == "__lsn":
+                col = tbl.column(delta_in[1])
+            else:
+                col = tbl.column(name)
+            if col.type != at:
+                col = pc.cast(col, at)
+            cols.append(col)
+        tbl = pa.table(cols, schema=arrow_schema)
+        if delta_in:
+            m = pc.max(tbl.column("__lsn")).as_py()
+            if m is not None:
+                max_lsn = m if max_lsn is None else max(max_lsn, m)
+        key_vals = [tbl.column(k).to_pylist() for k in key_cols]
+        buckets = pa.array(
+            [bucket_of(list(row), key_types, n_buckets) for row in zip(*key_vals)],
+            type=pa.int32(),
+        )
+        for b in pc.unique(buckets).to_pylist():
+            b = int(b)
+            sub = tbl.filter(pc.equal(buckets, b))
+            st = writers.get(b)
+            if st is None:
+                bucket_dir = _os.path.join(abs_dir, f"bucket={b}")
+                _os.makedirs(bucket_dir, exist_ok=True)
+                name = f"part-{part}.parquet"
+                st = writers[b] = {
+                    "writer": pq.ParquetWriter(
+                        _os.path.join(bucket_dir, name),
+                        arrow_schema,
+                        compression="snappy",
+                    ),
+                    "rel_path": f"{rel_dir}/bucket={b}/{name}",
+                    "total": 0,
+                    "mm": {},
+                }
+            observe(st, sub)
+            st["writer"].write_table(sub)
+            st["total"] += sub.num_rows
+    out = []
+    for b, st in writers.items():
+        st["writer"].close()
+        stats = {}
+        for _cname, ddl, key in stat_cols:
+            cur = st["mm"].get(key)
+            if cur is None:
+                continue
+            lo, hi = encode_bound(cur[0], ddl), encode_bound(cur[1], ddl)
+            if ddl == "string":
+                lo = None if lo is None else truncate_lower(lo)
+                hi = None if hi is None else truncate_upper(hi)
+            stats[key] = [lo, hi, cur[2]]
+        out.append(
+            (st["rel_path"], b, st["total"], _json.dumps(stats) if stats else None)
+        )
+    return out, max_lsn
+
+
+def _writer_plan(root: str, input_names: list[str], *, delta: bool, options):
+    """Driver-side prep shared by both writers: resolve the snapshot,
+    validate the incoming column set, pick the attempt dir."""
+    import uuid
+
+    log = SnapshotLog(root)
+    snap = log.read_current()
+    if snap is None:
+        raise FileNotFoundError(
+            f"no lake table at {root} — create it first (LakeTable.create)"
+        )
+    expected = list(snap.schema.names)
+    op_col = options.get("op_col", "op")
+    lsn_col = options.get("lsn_col", "lsn")
+    if delta:
+        expected = expected + [op_col, lsn_col]
+    if sorted(input_names) != sorted(expected):
+        raise ValueError(
+            f"write schema mismatch: table {root} expects columns "
+            f"{sorted(expected)}, got {sorted(input_names)}"
+        )
+    plan = {
+        "root": root,
+        "rel_dir": f"data/w-{uuid.uuid4().hex[:16]}",
+        "target_fields": [
+            (f.id, f.name, f.type, f.default) for f in snap.schema.fields
+        ],
+        "key_cols": list(snap.key_cols),
+        "key_types": [snap.schema.field_by_name(k).type for k in snap.key_cols],
+        "n_buckets": snap.n_buckets,
+        "delta_in": (op_col, lsn_col) if delta else None,
+        "schema_version": snap.schema.schema_version,
+    }
+    return plan
+
+
+def _data_files_from_messages(messages, schema_version: int, kind: str):
+    import json
+
+    from ..lakehouse.snapshot import DataFile
+
+    files = []
+    for m in messages:
+        if m is None:
+            continue
+        for rel_path, bucket, rows, stats_json in m.files:
+            files.append(
+                DataFile(
+                    path=rel_path,
+                    bucket=int(bucket),
+                    rows=int(rows),
+                    schema_version=schema_version,
+                    kind=kind,
+                    stats=json.loads(stats_json) if stats_json else None,
+                )
+            )
+    return files
+
+
+def _commit_with_retry(
+    root: str,
+    files,
+    *,
+    overwrite: bool,
+    batch_id: str | None = None,
+    last_lsn: int | None = None,
+    retries: int = 5,
+):
+    """Driver-side snapshot commit. Appends commute, so a CAS loss to a
+    concurrent writer just re-reads the parent and retries; the batch-id
+    guard keeps a replayed streaming epoch exactly-once (same skip the
+    merge path uses, ``cdc/merge.py`` ``commit_or_skip``)."""
+    from pyspark.sql import SparkSession
+
+    from ..lakehouse.snapshot import CommitConflict
+    from ..lakehouse.table import LakeTable
+
+    spark = SparkSession.getActiveSession()
+    table = LakeTable(spark, root)
+    last_err = None
+    for _ in range(retries):
+        snap = table.snapshot
+        if batch_id is not None and table.is_batch_committed(batch_id, snap):
+            return None  # replayed epoch: already applied, files orphan→vacuum
+        replaced = {f.bucket for f in snap.files} if overwrite else set()
+        try:
+            return table.commit_replace_buckets(
+                snap, replaced, files, batch_id=batch_id, last_lsn=last_lsn
+            )
+        except CommitConflict as exc:
+            last_err = exc
+    raise last_err
+
+
+def _abort_cleanup(root: str, rel_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(root, rel_dir), ignore_errors=True)
+
+
+class PanoramaWriter(DataSourceArrowWriter):
+    """Batch write: ``df.write.format("panorama").mode("append"|
+    "overwrite").save(root)``. Tasks write bucket-hashed parquet with
+    zone-map stats into a per-attempt unique dir; the driver commits
+    one atomic snapshot (append adds files; overwrite swaps every live
+    bucket — the reference's wholesale re-upload landing,
+    ``panorama_datalake.py:215-258``, at snapshot grain). A failed job
+    aborts without a visible change; leftover files are vacuum's."""
+
+    def __init__(self, root: str, options, overwrite: bool, input_names: list[str]):
+        self.overwrite = overwrite
+        self.plan = _writer_plan(root, input_names, delta=False, options=options)
+
+    def write(self, iterator):
+        p = self.plan
+        files, _ = _write_partition_files(
+            p["root"],
+            p["rel_dir"],
+            iterator,
+            p["target_fields"],
+            p["key_cols"],
+            p["key_types"],
+            p["n_buckets"],
+            None,
+        )
+        return PanoramaWriteResult(files=files)
+
+    def commit(self, messages):
+        files = _data_files_from_messages(messages, self.plan["schema_version"], "base")
+        if not files and not self.overwrite:
+            return
+        _commit_with_retry(self.plan["root"], files, overwrite=self.overwrite)
+
+    def abort(self, messages):
+        _abort_cleanup(self.plan["root"], self.plan["rel_dir"])
+
+
+class PanoramaStreamSink(DataSourceStreamArrowWriter):
+    """Streaming upsert sink: ``writeStream.format("panorama")`` over a
+    change-event stream (table columns + ``op``/``lsn``; rename via
+    ``.option("op_col"/"lsn_col", ...)``).
+
+    Each epoch's rows land as merge-on-read *delta* files — no shuffle,
+    no read of the resident table, per-epoch cost O(epoch) — and one
+    atomic snapshot commit publishes them; readers LWW-fold winners per
+    key and drop delete markers exactly as ``append_delta`` merges
+    (``cdc/merge.py``), and ``compact()`` folds deltas down on any
+    schedule. Exactly-once: the commit registers a deterministic batch
+    id ``pansink:{sink_id}:{epoch}``, so a replayed epoch after a crash
+    resolves to the idempotent skip; a distinct ``sink_id`` option
+    namespaces multiple streams into one table. Combined with the
+    streaming change feed this closes the loop: lake → readStream →
+    transform → writeStream → lake is end-to-end exactly-once in pure
+    ``spark.readStream/writeStream`` API."""
+
+    def __init__(self, root: str, options, overwrite: bool, input_names: list[str]):
+        if overwrite:
+            raise ValueError(
+                "the panorama streaming sink is append/upsert-only "
+                "(outputMode('append')); complete mode is not supported"
+            )
+        self.sink_id = options.get("sink_id", "default")
+        self.plan = _writer_plan(root, input_names, delta=True, options=options)
+
+    def write(self, iterator):
+        p = self.plan
+        files, max_lsn = _write_partition_files(
+            p["root"],
+            p["rel_dir"],
+            iterator,
+            p["target_fields"],
+            p["key_cols"],
+            p["key_types"],
+            p["n_buckets"],
+            p["delta_in"],
+        )
+        return PanoramaWriteResult(files=files, max_lsn=max_lsn)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = _data_files_from_messages(messages, self.plan["schema_version"], "delta")
+        lsns = [m.max_lsn for m in messages if m is not None and m.max_lsn is not None]
+        if not files:
+            return
+        _commit_with_retry(
+            self.plan["root"],
+            files,
+            overwrite=False,
+            batch_id=f"pansink:{self.sink_id}:{batchId}",
+            last_lsn=max(lsns) if lsns else None,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_cleanup(self.plan["root"], self.plan["rel_dir"])
 
 
 # ---------------------------------------------------------------------------
@@ -780,9 +1162,15 @@ class PanoramaDataSource(DataSource):
                     proj = snap_from
             keys = list(proj.key_cols)
             struct = proj.schema.to_struct()
+            version_field = (
+                [StructField(CHANGE_VERSION_COL, LongType())]
+                if str(self.options.get("include_version", "false")).lower() == "true"
+                else []
+            )
             return StructType(
                 [f for f in struct.fields if f.name in keys]
                 + [StructField(CHANGE_OP_COL, StringType())]
+                + version_field
                 + [f for f in struct.fields if f.name not in keys]
             )
         return snap.schema.to_struct()
@@ -800,3 +1188,13 @@ class PanoramaDataSource(DataSource):
                 "is the feed schema (keys, change_op, payload)"
             )
         return PanoramaStreamReader(self._root(), self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return PanoramaWriter(
+            self._root(), self.options, overwrite, list(schema.fieldNames())
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return PanoramaStreamSink(
+            self._root(), self.options, overwrite, list(schema.fieldNames())
+        )
