@@ -9,10 +9,11 @@ dict, or ``None`` bounds all mean "unknown" — the planner then keeps
 the file, so skipping can never drop a matching row.
 
 This is the Iceberg/Delta data-skipping shape re-expressed for the
-bucketed lake: stats are collected by the *write tasks* (the Arrow
-write kernel aggregates min/max/null-count as it streams row groups;
-the JVM-writer fallback reads them from parquet footers, a
-metadata-only read), stored in the immutable manifest files — never in
+bucketed lake: stats are collected by the *write tasks* at zero extra
+scan cost (the parquet encoder tracks min/max/null-count per row group
+as it writes; the kernel harvests the just-written footer at close —
+``table.footer_zone_map`` — and the JVM-writer fallback reads the same
+footers driver-side), stored in the immutable manifest files — never in
 the snapshot document, which stays O(manifest list) — and consulted at
 scan *planning* time, before any file IO. At the 100 TB design point
 the win is task-count: a time-range query over a table whose files

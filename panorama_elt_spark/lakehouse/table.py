@@ -64,13 +64,29 @@ def _stat_columns(snap: "Snapshot", df_columns: list[str]) -> list[tuple[str, st
     """(column, ddl_type, stats_key) rows for the zone-map collectors:
     every orderable schema column present in the write, keyed by field
     id (rename-safe), plus the merge-on-read ``__lsn`` bookkeeping
-    column keyed by its literal name."""
+    column keyed by its literal name.
+
+    Per-column opt-out (the Iceberg ``write.metadata.metrics.column.*``
+    knob): table property or env ``PANORAMA_STATS_SKIP_COLS`` (comma
+    list) drops named columns from collection — their files then carry
+    no bound for that key and are simply never skipped on it
+    (conservative). Meant for wide payload strings (document bodies)
+    whose min/max scan costs write throughput but whose bounds no
+    realistic predicate uses."""
     from .filestats import ORDERABLE_TYPES
 
+    skip = {
+        c.strip()
+        for c in (
+            snap.properties.get("stats_skip_cols")
+            or os.environ.get("PANORAMA_STATS_SKIP_COLS", "")
+        ).split(",")
+        if c.strip()
+    }
     out = [
         (f.name, f.type, str(f.id))
         for f in snap.schema.fields
-        if f.name in df_columns and f.type in ORDERABLE_TYPES
+        if f.name in df_columns and f.type in ORDERABLE_TYPES and f.name not in skip
     ]
     if "__lsn" in df_columns:
         out.append(("__lsn", "bigint", "__lsn"))
@@ -184,54 +200,68 @@ def _parquet_footer_stats(
 
     import pyarrow.parquet as pq
 
-    from .filestats import encode_bound, truncate_lower, truncate_upper
-
-    by_name = {cname: (ddl, key) for cname, ddl, key in stat_cols}
-
     def one(p: str) -> tuple[str, tuple[int, dict | None]]:
-        from .filestats import decode_bound
-
         md = pq.ParquetFile(p).metadata
-        # key -> list of per-row-group (lo, hi, nulls); None bound/nulls
-        # = that group is unknown, which poisons the file's bound
-        groups: dict[str, list] = {}
-        for rg in range(md.num_row_groups):
-            row_group = md.row_group(rg)
-            for ci in range(row_group.num_columns):
-                col = row_group.column(ci)
-                name = col.path_in_schema
-                if name not in by_name:
-                    continue
-                ddl, key = by_name[name]
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    groups.setdefault(key, []).append((None, None, None))
-                    continue
-                lo, hi = encode_bound(st.min, ddl), encode_bound(st.max, ddl)
-                if ddl == "string":
-                    lo = None if lo is None else truncate_lower(lo)
-                    hi = None if hi is None else truncate_upper(hi)
-                groups.setdefault(key, []).append((lo, hi, st.null_count))
-        stats: dict[str, list] = {}
-        for key, per_group in groups.items():
-            ddl = next(d for _c, d, k in stat_cols if k == key)
-            los = [g[0] for g in per_group]
-            his = [g[1] for g in per_group]
-            nulls = [g[2] for g in per_group]
-            lo = None
-            if all(v is not None for v in los):
-                decoded = [(decode_bound(v, ddl), v) for v in los]
-                lo = min(decoded, key=lambda t: t[0])[1] if all(d is not None for d, _ in decoded) else None
-            hi = None
-            if all(v is not None for v in his):
-                decoded = [(decode_bound(v, ddl), v) for v in his]
-                hi = max(decoded, key=lambda t: t[0])[1] if all(d is not None for d, _ in decoded) else None
-            nc = sum(nulls) if all(v is not None for v in nulls) else None
-            stats[key] = [lo, hi, nc]
-        return p, (md.num_rows, stats or None)
+        return p, (md.num_rows, footer_zone_map(md, stat_cols))
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         return dict(ex.map(one, paths))
+
+
+def footer_zone_map(md, stat_cols: list[tuple[str, str, str]]) -> dict | None:
+    """Aggregate one parquet file's per-row-group column statistics
+    (``pq.ParquetFile(p).metadata``) into a manifest zone map
+    ``{stats_key: [lo, hi, null_count]}``.
+
+    This is the zero-extra-scan stats source: the parquet encoder
+    already tracks min/max/null-count per row group as it writes, so
+    harvesting the footer costs one metadata read (~0.2 ms, page-cache
+    hot in the write task) instead of a second pass over the data.
+    pyarrow OMITS statistics for oversized values (> 4096 bytes), so a
+    footer bound is either exact or absent — an absent row-group bound
+    poisons that key's file bound to unknown, and the planner then never
+    skips on it (conservative by construction)."""
+    from .filestats import decode_bound, encode_bound, truncate_lower, truncate_upper
+
+    by_name = {cname: (ddl, key) for cname, ddl, key in stat_cols}
+    # key -> list of per-row-group (lo, hi, nulls); None bound/nulls
+    # = that group is unknown, which poisons the file's bound
+    groups: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in by_name:
+                continue
+            ddl, key = by_name[name]
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                groups.setdefault(key, []).append((None, None, None))
+                continue
+            lo, hi = encode_bound(st.min, ddl), encode_bound(st.max, ddl)
+            if ddl == "string":
+                lo = None if lo is None else truncate_lower(lo)
+                hi = None if hi is None else truncate_upper(hi)
+            groups.setdefault(key, []).append((lo, hi, st.null_count))
+    stats: dict[str, list] = {}
+    for key, per_group in groups.items():
+        ddl = next(d for _c, d, k in stat_cols if k == key)
+        los = [g[0] for g in per_group]
+        his = [g[1] for g in per_group]
+        nulls = [g[2] for g in per_group]
+        lo = None
+        if all(v is not None for v in los):
+            decoded = [(decode_bound(v, ddl), v) for v in los]
+            lo = min(decoded, key=lambda t: t[0])[1] if all(d is not None for d, _ in decoded) else None
+        hi = None
+        if all(v is not None for v in his):
+            decoded = [(decode_bound(v, ddl), v) for v in his]
+            hi = max(decoded, key=lambda t: t[0])[1] if all(d is not None for d, _ in decoded) else None
+        nc = sum(nulls) if all(v is not None for v in nulls) else None
+        if (lo, hi, nc) != (None, None, None):
+            stats[key] = [lo, hi, nc]
+    return stats or None
 
 
 def root_is_shared_posix(root: str) -> bool:
@@ -263,9 +293,11 @@ def _task_write_fn(
     (which was both O(table-IO) on the commit path and racy under
     concurrent same-version attempts).
 
-    ``stat_cols`` rows are (column, ddl_type, stats_key): the kernel
-    aggregates min/max/null-count per open file as the batches stream
-    through (zone maps, ``lakehouse/filestats.py``). With
+    ``stat_cols`` rows are (column, ddl_type, stats_key): at file close
+    the kernel harvests the zone map from the just-written parquet
+    footer (``footer_zone_map`` — the encoder already tracked
+    min/max/null-count per row group, so stats cost one ~0.2 ms
+    metadata read instead of a second scan of the data). With
     ``max_rows_per_file`` the writer rolls to a fresh file at row-group
     boundaries once a file crosses the cap — on sorted input (e.g.
     ``compact(sort_by=...)``) rolled files carry disjoint bound windows,
@@ -281,11 +313,7 @@ def _task_write_fn(
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        from panorama_elt_spark.lakehouse.filestats import (
-            encode_bound,
-            truncate_lower,
-            truncate_upper,
-        )
+        from panorama_elt_spark.lakehouse.table import footer_zone_map
 
         # bucket -> mutable file state
         writers: dict[int, dict] = {}
@@ -300,46 +328,24 @@ def _task_write_fn(
                 "writer": pq.ParquetWriter(
                     _os.path.join(bucket_dir, name), arrow_schema, compression="snappy"
                 ),
+                "abs_path": _os.path.join(bucket_dir, name),
                 "rel_path": f"{rel_dir}/bucket={b}/{name}",
                 "buf": [],
                 "buf_rows": 0,
                 "total": 0,
                 "seq": seq,
-                # stats_key -> [lo, hi, null_count] in python values
-                "mm": {},
             }
-
-        def observe(st: dict, sub) -> None:
-            for cname, _ddl, key in stat_cols:
-                col = sub.column(cname)
-                cur = st["mm"].get(key)
-                if cur is None:
-                    cur = st["mm"][key] = [None, None, 0]
-                cur[2] += col.null_count
-                if col.null_count == len(col):
-                    continue
-                mm = pc.min_max(col).as_py()
-                lo, hi = mm["min"], mm["max"]
-                if cur[0] is None or (lo is not None and lo < cur[0]):
-                    cur[0] = lo
-                if cur[1] is None or (hi is not None and hi > cur[1]):
-                    cur[1] = hi
 
         def finalize(st: dict, b: int) -> None:
             st["writer"].close()
             if st["total"] == 0:  # a rolled file no further rows reached
-                _os.remove(_os.path.join(abs_dir, st["rel_path"].removeprefix(rel_dir + "/")))
+                _os.remove(st["abs_path"])
                 return
-            stats = {}
-            for _cname, ddl, key in stat_cols:
-                cur = st["mm"].get(key)
-                if cur is None:
-                    continue
-                lo, hi = encode_bound(cur[0], ddl), encode_bound(cur[1], ddl)
-                if ddl == "string":
-                    lo = None if lo is None else truncate_lower(lo)
-                    hi = None if hi is None else truncate_upper(hi)
-                stats[key] = [lo, hi, cur[2]]
+            stats = (
+                footer_zone_map(pq.ParquetFile(st["abs_path"]).metadata, stat_cols)
+                if stat_cols
+                else None
+            )
             out_rows.append(
                 {
                     "path": st["rel_path"],
@@ -390,7 +396,6 @@ def _task_write_fn(
                         take = min(take, max(room, 1))
                     piece = sub.slice(0, take)
                     sub = sub.slice(take)
-                    observe(st, piece)
                     st["buf"].extend(piece.to_batches())
                     st["buf_rows"] += piece.num_rows
                     if st["buf_rows"] >= flush_rows or (
@@ -789,7 +794,15 @@ class LakeTable:
             and root_is_shared_posix(self.root)
             and (size_hint_rows is None or size_hint_rows >= min_rows)
         )
-        stat_cols = _stat_columns(snap, df.columns)
+        # PANORAMA_WRITE_STATS=0 skips zone-map collection (files then
+        # carry no stats → never skipped, always correct) — an escape
+        # hatch for write-bound pipelines where min/max scans of wide
+        # string columns aren't worth the read-side skipping
+        stat_cols = (
+            _stat_columns(snap, df.columns)
+            if os.environ.get("PANORAMA_WRITE_STATS", "1") != "0"
+            else []
+        )
         if max_rows_per_file is None:
             env_cap = os.environ.get("PANORAMA_MAX_ROWS_PER_FILE")
             max_rows_per_file = int(env_cap) if env_cap else None

@@ -787,8 +787,9 @@ def _write_partition_files(
     delta_in: tuple[str, str] | None,
 ) -> tuple[list, int | None]:
     """Executor kernel: stream one task's Arrow batches into per-bucket
-    parquet files under ``rel_dir``, observing zone-map stats as rows
-    pass (``lakehouse/filestats.py``). Buckets come from the pure-Python
+    parquet files under ``rel_dir``, harvesting zone-map stats from each
+    file's footer at close (``footer_zone_map`` — no second data scan).
+    Buckets come from the pure-Python
     Murmur3 (``functions/murmur.py``, bit-for-bit with ``F.hash``), so
     the files this interop path writes are indistinguishable from the
     library writer's. With ``delta_in = (op_col, lsn_col)`` the input's
@@ -809,12 +810,8 @@ def _write_partition_files(
     import pyarrow.parquet as pq
 
     from ..functions.murmur import bucket_of
-    from ..lakehouse.filestats import (
-        ORDERABLE_TYPES,
-        encode_bound,
-        truncate_lower,
-        truncate_upper,
-    )
+    from ..lakehouse.filestats import ORDERABLE_TYPES
+    from ..lakehouse.table import footer_zone_map
 
     out_fields = [(name, _arrow_type(t)) for _, name, t, _ in target_fields]
     stat_cols = [
@@ -830,20 +827,6 @@ def _write_partition_files(
     abs_dir = _os.path.join(root, rel_dir)
     writers: dict[int, dict] = {}
     max_lsn: int | None = None
-
-    def observe(st: dict, sub) -> None:
-        for cname, _ddl, key in stat_cols:
-            col = sub.column(cname)
-            cur = st["mm"].setdefault(key, [None, None, 0])
-            cur[2] += col.null_count
-            if col.null_count == len(col):
-                continue
-            mm = pc.min_max(col).as_py()
-            lo, hi = mm["min"], mm["max"]
-            if cur[0] is None or (lo is not None and lo < cur[0]):
-                cur[0] = lo
-            if cur[1] is None or (hi is not None and hi > cur[1]):
-                cur[1] = hi
 
     for rb in batches:
         if rb.num_rows == 0:
@@ -884,26 +867,18 @@ def _write_partition_files(
                         arrow_schema,
                         compression="snappy",
                     ),
+                    "abs_path": _os.path.join(bucket_dir, name),
                     "rel_path": f"{rel_dir}/bucket={b}/{name}",
                     "total": 0,
-                    "mm": {},
                 }
-            observe(st, sub)
             st["writer"].write_table(sub)
             st["total"] += sub.num_rows
     out = []
     for b, st in writers.items():
         st["writer"].close()
-        stats = {}
-        for _cname, ddl, key in stat_cols:
-            cur = st["mm"].get(key)
-            if cur is None:
-                continue
-            lo, hi = encode_bound(cur[0], ddl), encode_bound(cur[1], ddl)
-            if ddl == "string":
-                lo = None if lo is None else truncate_lower(lo)
-                hi = None if hi is None else truncate_upper(hi)
-            stats[key] = [lo, hi, cur[2]]
+        # stats from the just-written footer: the encoder already
+        # tracked them, one metadata read, no second data scan
+        stats = footer_zone_map(pq.ParquetFile(st["abs_path"]).metadata, stat_cols)
         out.append(
             (st["rel_path"], b, st["total"], _json.dumps(stats) if stats else None)
         )
