@@ -89,6 +89,7 @@ class CdcEngine:
         pre_dedupe=None,
         strategy: str = "auto",
         compact_every: int | None = None,
+        compact_async: bool = False,
     ):
         self.table = table
         self.registry = schema_registry or {}
@@ -103,11 +104,55 @@ class CdcEngine:
         # amplification; the compaction itself is an ordinary snapshot
         # commit (readers never block).
         self.compact_every = compact_every
+        # compact on a background thread instead of stalling the replay
+        # loop (Hudi async compaction): merges keep appending deltas
+        # while the fold runs; the two commit streams reconcile via the
+        # optimistic rebase (LakeTable._rebase — the compaction carries
+        # concurrently-landed deltas forward, the merge re-targets the
+        # compacted parent). Sound only for the merge-on-read strategy:
+        # fused/bucket_local merges *replace* bucket files, which a
+        # concurrent compaction would invalidate (a real conflict).
+        if compact_async and strategy != "append_delta":
+            raise ValueError(
+                "compact_async requires strategy='append_delta' — "
+                "bucket-replacing merges genuinely conflict with a "
+                "concurrent compaction"
+            )
+        self.compact_async = compact_async
         self._applied_since_compact = 0
+        self._compact_pool = None
+        self._compact_fut = None
+
+    def _maybe_compact(self) -> None:
+        if not self.compact_async:
+            self.table.compact()
+            return
+        if self._compact_fut is not None:
+            if not self._compact_fut.done():
+                # one fold in flight is the backlog bound: skip this
+                # cycle rather than queueing folds behind each other
+                return
+            self._compact_fut.result()  # surface a failed fold
+        if self._compact_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._compact_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="cdc-compact"
+            )
+        self._compact_fut = self._compact_pool.submit(self.table.compact)
+
+    def finish_compactions(self) -> None:
+        """Join the in-flight background compaction, surfacing its
+        outcome. Called at replay end and before any schema ALTER (a
+        fold built on the pre-ALTER schema epoch could not rebase)."""
+        if self._compact_fut is not None:
+            fut, self._compact_fut = self._compact_fut, None
+            fut.result()
 
     def _evolve_to(self, version: int) -> None:
         """Catalog-diff + ALTER up to ``version`` (gated: lands before the
         first batch whose events assume it)."""
+        self.finish_compactions()
         cur = self.table.snapshot.schema
         for v in sorted(self.registry):
             if v <= cur.schema_version or v > version:
@@ -300,9 +345,21 @@ class CdcEngine:
                         self.compact_every
                         and self._applied_since_compact >= self.compact_every
                     ):
-                        self.table.compact()
+                        self._maybe_compact()
                         self._applied_since_compact = 0
         finally:
+            import sys
+
+            # checked BEFORE the join: inside the nested except,
+            # exc_info would report the fold failure itself
+            unwinding = sys.exc_info()[0] is not None
+            try:
+                self.finish_compactions()
+            except Exception:
+                # surface a failed background fold — unless the loop is
+                # already unwinding with its own exception (never mask it)
+                if not unwinding:
+                    raise
             if fut is not None:
                 # a merge failure mid-loop must not leak the in-flight
                 # prefetch's cached aggregate

@@ -300,13 +300,18 @@ def commit_or_skip(table: LakeTable, parent, *commit_args, batch_id: str, **comm
     winning snapshot carries ``batch_id``, the loser's work is redundant
     by construction (same id ⇒ same LSN range ⇒ same resolved state) —
     return (current snapshot, skipped=True) and let ``vacuum`` reap the
-    loser's unreferenced files. A conflict from a *different* batch is a
-    real lost update (our merge read a stale resident state) and
-    re-raises for the caller to retry from the new snapshot.
+    loser's unreferenced files. A *different* batch that invalidated
+    this merge's inputs (moved the LSN checkpoint, or touched the
+    replaced buckets with anything but fold-forward deltas) is a real
+    lost update and re-raises; a provably-disjoint concurrent commit —
+    a compaction landing mid-merge, a delta append racing a compaction
+    — rebases onto the fresh snapshot instead
+    (``LakeTable._rebase``), so maintenance never blocks ingestion.
     """
     try:
         snap = table.commit_replace_buckets(
-            parent, *commit_args, batch_id=batch_id, **commit_kwargs
+            parent, *commit_args, batch_id=batch_id, retry_on_conflict=True,
+            **commit_kwargs
         )
         return snap, False
     except CommitConflict:

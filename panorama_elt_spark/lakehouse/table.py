@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .fileio import FileIO, LocalFileIO
 from .schema import TableSchema, spark_type
 from .snapshot import (
+    CommitConflict,
     DataFile,
     ManifestEntry,
     Snapshot,
@@ -932,6 +933,7 @@ class LakeTable:
         batch_id: str | None = None,
         lineage_rows: list[dict] | None = None,
         new_schema: TableSchema | None = None,
+        retry_on_conflict: bool = False,
     ) -> Snapshot:
         """Atomic snapshot swap: files of ``replaced_buckets`` out, ``new_files``
         in, plus checkpoint LSN / batch id / lineage in the same commit.
@@ -952,13 +954,122 @@ class LakeTable:
           via ``is_batch_committed`` only when the recent in-document
           window misses, i.e. never on the new-batch hot path beyond a
           cached read per spill file per process).
+
+        ``retry_on_conflict=True`` turns a CAS loss into an *optimistic
+        rebase* (Iceberg-style conflict resolution) when the winning
+        commit provably doesn't invalidate this one — see ``_rebase``.
+        Data files are already on disk either way; a rebase rewrites
+        only O(touched) metadata against the fresh parent, so a
+        maintenance commit (compaction) and a merge-on-read ingest
+        batch can race without failing either. Default off: the bare
+        call keeps strict first-writer-wins semantics.
         """
+        max_retries = (
+            int(os.environ.get("PANORAMA_COMMIT_RETRIES", "5"))
+            if retry_on_conflict
+            else 0
+        )
+        for _ in range(max_retries):
+            try:
+                return self._commit_attempt(
+                    parent,
+                    replaced_buckets,
+                    new_files,
+                    last_lsn=last_lsn,
+                    batch_id=batch_id,
+                    lineage_rows=lineage_rows,
+                    new_schema=new_schema,
+                )
+            except CommitConflict:
+                rebased = self._rebase(
+                    parent, replaced_buckets, last_lsn, batch_id, new_schema
+                )
+                if rebased is None:
+                    raise
+                parent, carried = rebased
+                new_files = new_files + carried
+        return self._commit_attempt(
+            parent,
+            replaced_buckets,
+            new_files,
+            last_lsn=last_lsn,
+            batch_id=batch_id,
+            lineage_rows=lineage_rows,
+            new_schema=new_schema,
+        )
+
+    def _rebase(
+        self,
+        parent: Snapshot,
+        replaced_buckets: set[int],
+        last_lsn: int | None,
+        batch_id: str | None,
+        new_schema: TableSchema | None,
+    ) -> tuple[Snapshot, list[DataFile]] | None:
+        """Decide whether a CAS-losing commit can re-target the current
+        snapshot unchanged. Returns ``(fresh_parent, carried_files)`` or
+        ``None`` (caller re-raises). Safe iff the intervening commits
+        are provably disjoint from this one:
+
+        * no concurrent schema change (our files conform to ``parent``'s
+          epoch) and this commit isn't itself a schema change;
+        * the batch id isn't already in (that's the exactly-once race —
+          ``commit_or_skip`` resolves it to a skip, not a rebase);
+        * if this commit moves the LSN checkpoint, nobody else moved it
+          (two checkpointing writers = two tails = a real conflict);
+        * the files this commit read-and-replaced are all still live in
+          the fresh snapshot. Files *added* to those buckets meanwhile
+          are fine only if they are merge-on-read deltas: deltas fold
+          over any base state by ``__lsn``, so carrying them forward
+          onto our rewritten base preserves the read result (the
+          Hudi-style "compaction never blocks ingestion" property). A
+          removed or non-delta-added file means the winner rewrote state
+          this commit depended on — no rebase.
+        """
+        fresh = self.log.read_current()
+        if fresh is None or new_schema is not None:
+            return None
+        if batch_id is not None and self.is_batch_committed(batch_id, fresh):
+            return None
+        if fresh.schema.schema_version != parent.schema.schema_version:
+            return None
+        if last_lsn is not None and fresh.last_lsn != parent.last_lsn:
+            return None
+        carried: list[DataFile] = []
+        if replaced_buckets:
+            ours = {f.path for f in parent.files_in_buckets(replaced_buckets)}
+            theirs = {
+                f.path: f for f in fresh.files_in_buckets(replaced_buckets)
+            }
+            if ours - theirs.keys():
+                return None  # a file we consumed is gone (e.g. rival compaction)
+            carried = [f for p, f in theirs.items() if p not in ours]
+            if any(f.kind != "delta" for f in carried):
+                return None
+        return fresh, carried
+
+    def _commit_attempt(
+        self,
+        parent: Snapshot,
+        replaced_buckets: set[int],
+        new_files: list[DataFile],
+        *,
+        last_lsn: int | None,
+        batch_id: str | None,
+        lineage_rows: list[dict] | None,
+        new_schema: TableSchema | None,
+    ) -> Snapshot:
         kept_manifests = self._carry_manifests(parent, replaced_buckets)
         schema = new_schema or parent.schema
         history = dict(parent.schema_history)
         history[schema.schema_version] = schema
         new_version = parent.version + 1
-        lineage_all = list(parent.lineage) + (lineage_rows or [])
+        # the commit, not the caller, knows the version that actually
+        # lands (a rebase re-targets a newer parent than the merge saw)
+        lineage_all = list(parent.lineage) + [
+            {**r, "snapshot_version": new_version} if "snapshot_version" in r else r
+            for r in (lineage_rows or [])
+        ]
         lineage_files = list(parent.lineage_files)
         retain = int(os.environ.get("PANORAMA_LINEAGE_RETAIN", "4096"))
         if len(lineage_all) > retain:
@@ -1226,14 +1337,22 @@ class LakeTable:
                 target &= buckets
         if not target:
             return 0
-        merged = self.read(buckets=target)
+        # pin the fold's input to the snapshot the commit names as its
+        # parent: a delta landing mid-fold is then carried forward by
+        # the rebase exactly once (a fresher read would fold it AND
+        # carry it — harmless under LWW, but the pin keeps the commit's
+        # inputs and its conflict check the same set of files)
+        merged = self.read(buckets=target, version=snap.version)
         new_files = self.write_bucket_files(
             merged,
             snap.version + 1,
             sort_within=sort_by,
             max_rows_per_file=max_rows_per_file,
         )
-        self.commit_replace_buckets(snap, target, new_files)
+        # retry_on_conflict: a merge-on-read ingest batch landing mid-
+        # compaction must not kill either job — its new deltas are
+        # carried forward onto the compacted base (``_rebase``)
+        self.commit_replace_buckets(snap, target, new_files, retry_on_conflict=True)
         return len(target)
 
     def drop(self) -> None:

@@ -614,5 +614,11 @@ def test_commit_conflict_same_batch_resolves_to_skip(spark, tmp_path):
     snap, lost = commit_or_skip(t, stale, set(), [], batch_id="b0", lineage_rows=[])
     assert lost and snap.version == v_after
     assert _rows(t.read()) == state  # winner's state untouched
+    # a DIFFERENT batch that moved the LSN checkpoint line under us (as
+    # the real merge call shape always records) is a lost update — no
+    # silent rebase, the caller must re-merge from the fresh snapshot
     with pytest.raises(CommitConflict):
-        commit_or_skip(t, stale, set(), [], batch_id="other", lineage_rows=[])
+        commit_or_skip(
+            t, stale, set(), [], batch_id="other", lineage_rows=[],
+            last_lsn=stale.last_lsn,
+        )
