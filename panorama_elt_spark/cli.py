@@ -146,6 +146,29 @@ def cmd_table_info(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """Commit history, newest first (Delta DESCRIBE HISTORY analogue) —
+    metadata-only, one snapshot document per row."""
+    spark = get_spark("panorama-history")
+    table = LakeTable.load(spark, args.root)
+    rows = table.history(limit=args.limit).collect()
+    print(json.dumps([
+        {
+            "version": r["version"],
+            "committed_at": None if r["committed_at"] is None
+            else r["committed_at"].isoformat(),
+            "operation": r["operation"],
+            "batch_id": r["batch_id"],
+            "last_lsn": r["last_lsn"],
+            "schema_version": r["schema_version"],
+            "n_files": r["n_files"],
+            "n_rows": r["n_rows"],
+        }
+        for r in rows
+    ], indent=2))
+    return 0
+
+
 def cmd_set_tables_fields(args) -> int:
     """Schema introspection → YAML (reference ``set-tables-fields``,
     ``panorama_elt.py:438-470`` / ``mysql_datasource.py:150-170``)."""
@@ -312,6 +335,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("table-info")
     p.add_argument("--root", required=True)
     p.set_defaults(fn=cmd_table_info)
+
+    p = sub.add_parser("history")
+    p.add_argument("--root", required=True)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_history)
 
     p = sub.add_parser("set-tables")
     p.add_argument("--settings", required=True)

@@ -210,6 +210,9 @@ class Snapshot:
     # misses (LakeTable.is_batch_committed), so the document carries
     # O(recent) ids regardless of table lifetime and no id is ever lost
     batchid_files: list[str] = dc_field(default_factory=list)
+    # commit wall-clock (unix seconds), stamped at serialization time
+    # and parsed back for history(); None until first serialized
+    committed_at: float | None = None
     # set by SnapshotLog.commit when it writes the manifest-list file
     manifest_list_path: str | None = None
     # legacy format_version-1 documents inline their file list; the
@@ -327,6 +330,7 @@ class Snapshot:
             properties=d.get("properties", {}),
             lineage_files=d.get("lineage_files", []),
             batchid_files=d.get("batchid_files", []),
+            committed_at=d.get("committed_at_unix"),
         )
         if d.get("format_version", 1) >= 2:
             snap.manifest_list_path = d.get("manifest_list")

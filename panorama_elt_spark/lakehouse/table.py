@@ -745,6 +745,7 @@ class LakeTable:
         kind: str = "base",
         size_hint_rows: int | None = None,
         sort_within: list[str] | None = None,
+        sort_exprs: list | None = None,
         max_rows_per_file: int | None = None,
     ) -> list[DataFile]:
         """Write ``df`` (current-schema columns) hash-partitioned by
@@ -783,11 +784,14 @@ class LakeTable:
         out = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
         if not pre_partitioned:
             out = out.repartition(min(snap.n_buckets, 64), F.col(BUCKET_COL))
-        if sort_within:
+        if sort_within or sort_exprs:
             # cluster rows inside each bucket partition (one Tungsten
             # sort, no extra exchange) so the rolled files' zone maps
-            # carry disjoint windows on the sort columns
-            out = out.sortWithinPartitions(F.col(BUCKET_COL), *[F.col(c) for c in sort_within])
+            # carry disjoint (or narrow, for a z-order key) windows on
+            # the sort columns; ``sort_exprs`` are evaluated for the
+            # sort only, never materialized into the files
+            keys = sort_exprs or [F.col(c) for c in sort_within]
+            out = out.sortWithinPartitions(F.col(BUCKET_COL), *keys)
         schema_version = snap.schema.schema_version
         min_rows = int(os.environ.get("PANORAMA_TASK_WRITE_MIN_ROWS", "100000"))
         task_write = (
@@ -1306,11 +1310,136 @@ class LakeTable:
 
     # ------------------------------------------------------------ maintenance
 
+    def history(self, limit: int | None = None) -> DataFrame:
+        """The table's commit history as a DataFrame, newest first — the
+        Delta ``DESCRIBE HISTORY`` analogue. Metadata-only: each row
+        reads one snapshot document (manifest summaries carry the
+        file/row totals, no manifest or data file is opened), walking
+        back from the current version until ``limit`` rows or the first
+        expired snapshot. The operation kind is inferred from what
+        changed against the parent: ``create`` / ``alter`` (schema
+        epoch) / ``merge`` (a new committed batch id — CDC ingest) /
+        ``rewrite`` (same rows, files changed — compaction/clustering) /
+        ``append`` (rows grew with no batch id) / ``other``."""
+        import datetime
+
+        from pyspark.sql import types as T
+
+        rows = []
+        v = self.snapshot.version
+        snaps: dict[int, Snapshot] = {}
+
+        def _get(version: int) -> Snapshot | None:
+            if version < 0:
+                return None
+            if version not in snaps:
+                try:
+                    snaps[version] = self.log.read_version(version)
+                except (FileNotFoundError, NotADirectoryError):
+                    return None  # expired
+            return snaps[version]
+
+        while v >= 0 and (limit is None or len(rows) < limit):
+            snap = _get(v)
+            if snap is None:
+                break
+            parent = _get(v - 1)
+            batch = None
+            if parent is None and v > 0:
+                op = "other"  # parent expired: no diff to infer from
+            elif parent is None:
+                op = "create"
+            else:
+                new_batches = [
+                    b for b in snap.committed_batches
+                    if b not in set(parent.committed_batches)
+                ]
+                batch = new_batches[-1] if new_batches else None
+                if snap.schema.schema_version != parent.schema.schema_version:
+                    op = "alter"
+                elif batch is not None:
+                    op = "merge"
+                elif snap.total_rows() > parent.total_rows():
+                    op = "append"
+                else:
+                    # physical rows equal (clustering) or reduced (a
+                    # delta fold collapses base+delta rows) — a rewrite
+                    # either way; logical state is unchanged
+                    op = "rewrite"
+            rows.append(
+                (
+                    snap.version,
+                    None
+                    if snap.committed_at is None
+                    else datetime.datetime.fromtimestamp(
+                        snap.committed_at, datetime.timezone.utc
+                    ).replace(tzinfo=None),
+                    op,
+                    batch,
+                    snap.last_lsn,
+                    snap.schema.schema_version,
+                    snap.total_files(),
+                    snap.total_rows(),
+                )
+            )
+            v -= 1
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("committed_at", T.TimestampType(), True),
+                T.StructField("operation", T.StringType(), False),
+                T.StructField("batch_id", T.StringType(), True),
+                T.StructField("last_lsn", T.LongType(), False),
+                T.StructField("schema_version", T.LongType(), False),
+                T.StructField("n_files", T.LongType(), False),
+                T.StructField("n_rows", T.LongType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def column_bounds(
+        self, cols: list[str], snap: Snapshot | None = None
+    ) -> dict[str, tuple]:
+        """Global inclusive ``(lo, hi)`` per column, combined from the
+        manifests' per-file zone maps — a metadata-only read, no data
+        scan. A column any live file lacks a stat for (wide values,
+        stats disabled, unorderable type) is absent from the result;
+        the caller decides whether to fall back to a bounds aggregate."""
+        from .filestats import decode_bound
+
+        snap = snap or self.snapshot
+        ids = {
+            c: str(f.id)
+            for c in cols
+            if (f := snap.schema.field_by_name(c)) is not None
+        }
+        types = {f.name: f.type for f in snap.schema.fields}
+        out: dict[str, tuple] = {}
+        for c, key in ids.items():
+            lo = hi = None
+            ok = True
+            for df_ in snap.files:
+                st = (df_.stats or {}).get(key)
+                if st is None or st[0] is None or st[1] is None:
+                    ok = False
+                    break
+                f_lo = decode_bound(st[0], types[c])
+                f_hi = decode_bound(st[1], types[c])
+                if f_lo is None or f_hi is None:
+                    ok = False
+                    break
+                lo = f_lo if lo is None or f_lo < lo else lo
+                hi = f_hi if hi is None or f_hi > hi else hi
+            if ok and lo is not None:
+                out[c] = (lo, hi)
+        return out
+
     def compact(
         self,
         buckets: set[int] | None = None,
         sort_by: list[str] | None = None,
         max_rows_per_file: int | None = None,
+        layout: str = "linear",
     ) -> int:
         """Fold merge-on-read delta files into base files (the Hudi/
         Iceberg compaction analogue). Only buckets that actually hold
@@ -1325,7 +1454,17 @@ class LakeTable:
         sorted inside each bucket and, with ``max_rows_per_file``,
         rolled into bounded files — so the files' zone maps
         (``filestats``) carry disjoint windows on the sort columns and
-        range predicates skip whole files at plan time."""
+        range predicates skip whole files at plan time.
+
+        ``layout="zorder"`` (requires ``sort_by`` with ≥ 2 columns)
+        sorts by the Morton interleave of the columns' affine cell
+        values instead of lexicographically (``lakehouse/zorder.py``, the
+        Delta ``OPTIMIZE ZORDER BY`` shape): every participating column
+        gets a narrow zone-map window, so predicates on *any* of them
+        skip files — a lexicographic sort only serves its leading
+        column. Cell bounds come from the manifests' zone maps
+        (metadata-only); columns without manifest bounds fall back to
+        one min/max aggregate over the rewrite's own input."""
         snap = self.snapshot
         if sort_by is not None:
             target = (
@@ -1343,10 +1482,32 @@ class LakeTable:
         # carry it — harmless under LWW, but the pin keeps the commit's
         # inputs and its conflict check the same set of files)
         merged = self.read(buckets=target, version=snap.version)
+        sort_exprs = None
+        if layout == "zorder":
+            if not sort_by or len(sort_by) < 2:
+                raise ValueError("layout='zorder' needs sort_by with >= 2 columns")
+            from .zorder import zorder_key
+
+            types = {f.name: f.type for f in snap.schema.fields}
+            bounds = self.column_bounds(sort_by, snap)
+            missing = [c for c in sort_by if c not in bounds]
+            if missing:
+                # one bounds aggregate over the rewrite's own input —
+                # the only case a z-order rewrite scans before writing
+                row = merged.agg(
+                    *[F.min(c).alias(f"lo_{c}") for c in missing],
+                    *[F.max(c).alias(f"hi_{c}") for c in missing],
+                ).collect()[0]
+                for c in missing:
+                    bounds[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+            sort_exprs = [zorder_key(sort_by, types, bounds)]
+        elif layout != "linear":
+            raise ValueError(f"unknown layout {layout!r}")
         new_files = self.write_bucket_files(
             merged,
             snap.version + 1,
-            sort_within=sort_by,
+            sort_within=None if sort_exprs else sort_by,
+            sort_exprs=sort_exprs,
             max_rows_per_file=max_rows_per_file,
         )
         # retry_on_conflict: a merge-on-read ingest batch landing mid-

@@ -1269,14 +1269,17 @@ def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lww_oracle_sql(log_glob: str) -> str:
+def _lww_oracle_sql(log_glob: str, max_lsn: int | None = None) -> str:
     # independent-engine replay of a persisted log: collapse duplicate
-    # deliveries (DISTINCT), LWW per (repo, path) by max lsn, drop deletes
+    # deliveries (DISTINCT), LWW per (repo, path) by max lsn, drop deletes;
+    # ``max_lsn`` truncates the replay — the oracle for a time-travel read
+    # of the snapshot whose checkpoint was that LSN
+    lsn_gate = f"WHERE lsn <= {max_lsn}" if max_lsn is not None else ""
     return f"""
 SELECT repo, path, commit, lang, sha256(content) AS content_digest FROM (
   SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
   FROM (SELECT DISTINCT lsn, op, repo, path, commit, lang, content
-        FROM read_parquet('{log_glob}'))
+        FROM read_parquet('{log_glob}') {lsn_gate})
 ) WHERE rn = 1 AND op <> 'D'
 """
 
@@ -1468,6 +1471,81 @@ def cdc_changes_mor(spark: SparkSession, sf: str) -> DataFrame:
         "commit",
         "lang",
         F.sha2("content", 256).alias("content_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time travel under concurrent maintenance — snapshot isolation as a
+# query: epoch 1 lands copy-on-write (version pinned), epoch 2 replays
+# merge-on-read with ASYNC compaction (folds race the ingest batches and
+# reconcile via the optimistic commit rebase, table.py _rebase), then a
+# final clustering compaction rewrites every bucket. The time-travel
+# read of the pinned version — through the registered data source's
+# ``.option("version", N)`` — must still see exactly the epoch-1 state
+# from the original (still-referenced, not-yet-expired) files. Oracle:
+# the independent DuckDB LWW replay truncated at the pinned snapshot's
+# checkpoint LSN. Ref: the reference keeps no history (wholesale
+# re-upload, panorama_datalake.py:215-258); this is the lakehouse
+# capability that replaces it.
+# ---------------------------------------------------------------------------
+
+_TIMETRAVEL_PIN_LSN = 9_999
+
+
+def _cdc_timetravel_root() -> str:
+    return _scratch_root("cdc_timetravel")
+
+
+def cdc_timetravel(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
+    log = generate_change_log(spark, spec)
+    root = _cdc_timetravel_root()
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    table = LakeTable.create(
+        spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
+    )
+    CdcEngine(table).replay(log, batch_size=10_000, max_lsn=_TIMETRAVEL_PIN_LSN)
+    v_pin = table.snapshot.version
+    # epoch 2: merge-on-read ingest with the fold racing it on a
+    # background thread (commit streams reconcile via the rebase)
+    CdcEngine(
+        table, strategy="append_delta", compact_every=1, compact_async=True
+    ).replay(log, batch_size=5_000)
+    # every bucket rewritten since the pin; old files remain referenced
+    # by snapshot v_pin until expire_snapshots
+    table.compact()
+    from .catalog import register_data_source
+
+    register_data_source(spark)
+    return (
+        spark.read.format("panorama")
+        .option("version", v_pin)
+        .load(table.root)
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            F.sha2("content", 256).alias("content_digest"),
+        )
     )
 
 
@@ -1691,6 +1769,74 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Z-order clustering — zm1's layout serves only its leading sort column;
+# this query rewrites the same events with layout="zorder" on (ts,
+# value) (lakehouse/zorder.py: Morton interleave of manifest-bounded
+# affine cells, the Delta OPTIMIZE ZORDER BY shape) and runs a
+# conjunction window on BOTH columns through read_where — zone maps
+# skip files on each dimension at plan time. The oracle is the plain
+# two-predicate aggregate: layout and pruning are plan-time properties
+# that must never change results.
+# ---------------------------------------------------------------------------
+
+
+def zm2_zorder_two_dim(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import datetime
+    import shutil
+
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "event_id", "bigint", False),
+            Field(2, "ts", "timestamp"),
+            Field(3, "user_id", "bigint"),
+            Field(4, "event_type", "string"),
+            Field(5, "value", "double"),
+        ],
+        schema_version=1,
+    )
+    events = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = _scratch_root("zm2")
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, os.path.join(root, "events"), schema, ["event_id"], n_buckets=8
+    )
+    table.append(events)
+    table.compact(sort_by=["ts", "value"], layout="zorder", max_rows_per_file=1000)
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 20)
+    pruned = table.read_where(
+        [("ts", "ge", lo), ("ts", "lt", hi), ("value", "ge", 50.0), ("value", "lt", 150.0)]
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+_ZM2_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND value >= 50.0 AND value < 150.0
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1736,7 +1882,9 @@ def queries() -> dict[str, QueryFn]:
         "cdc_changes_mor": cdc_changes_mor,
         "cdc_changes_schema_evo": cdc_changes_schema_evo,
         "cdc_catalog_attach": cdc_catalog_attach,
+        "cdc_timetravel": cdc_timetravel,
         "zm1_pruned_time_range": zm1_pruned_time_range,
+        "zm2_zorder_two_dim": zm2_zorder_two_dim,
     }
 
 
@@ -1785,6 +1933,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes_feed": _cdc_changes_sql(),
         "cdc_changes_mor": _cdc_changes_sql(_cdc_changes_mor_root()),
         "cdc_catalog_attach": _lww_oracle_sql(f"{_cdc_catalog_root()}/log/*.parquet"),
+        "cdc_timetravel": _lww_oracle_sql(
+            f"{_cdc_timetravel_root()}/log/*.parquet", max_lsn=_TIMETRAVEL_PIN_LSN
+        ),
         "cdc_changes_schema_evo": _cdc_changes_evo_sql(),
         "zm1_pruned_time_range": _ZM1_SQL,
+        "zm2_zorder_two_dim": _ZM2_SQL,
     }
