@@ -268,6 +268,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    """Change the table's bucket count (atomic full rewrite)."""
+    spark = get_spark("panorama-rebucket")
+    table = LakeTable.load(spark, args.root)
+    before = table.snapshot.n_buckets
+    snap = table.rebucket(args.n_buckets)
+    print(
+        f"rebucketed {before} -> {snap.n_buckets} buckets "
+        f"(snapshot v{snap.version}, {snap.total_rows()} rows)"
+    )
+    return 0
+
+
 def cmd_expire_snapshots(args) -> int:
     """Iceberg expire_snapshots analogue: bound the snapshot log, then
     vacuum the newly orphaned data files."""
@@ -375,6 +388,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact")
     p.add_argument("--root", required=True)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("rebucket")
+    p.add_argument("--root", required=True)
+    p.add_argument("--n-buckets", type=int, required=True, dest="n_buckets")
+    p.set_defaults(fn=cmd_rebucket)
 
     p = sub.add_parser("expire-snapshots")
     p.add_argument("--root", required=True)

@@ -747,6 +747,7 @@ class LakeTable:
         sort_within: list[str] | None = None,
         sort_exprs: list | None = None,
         max_rows_per_file: int | None = None,
+        n_buckets_override: int | None = None,
     ) -> list[DataFile]:
         """Write ``df`` (current-schema columns) hash-partitioned by
         bucket into a per-attempt unique directory
@@ -778,12 +779,13 @@ class LakeTable:
         snap = self.snapshot
         import uuid
 
+        n_buckets = n_buckets_override or snap.n_buckets
         prefix = "s" if kind == "base" else "d"
         rel_dir = f"data/{prefix}{new_version}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, rel_dir)
-        out = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+        out = df.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, n_buckets))
         if not pre_partitioned:
-            out = out.repartition(min(snap.n_buckets, 64), F.col(BUCKET_COL))
+            out = out.repartition(min(n_buckets, 64), F.col(BUCKET_COL))
         if sort_within or sort_exprs:
             # cluster rows inside each bucket partition (one Tungsten
             # sort, no extra exchange) so the rolled files' zone maps
@@ -937,6 +939,7 @@ class LakeTable:
         batch_id: str | None = None,
         lineage_rows: list[dict] | None = None,
         new_schema: TableSchema | None = None,
+        new_n_buckets: int | None = None,
         retry_on_conflict: bool = False,
     ) -> Snapshot:
         """Atomic snapshot swap: files of ``replaced_buckets`` out, ``new_files``
@@ -983,10 +986,12 @@ class LakeTable:
                     batch_id=batch_id,
                     lineage_rows=lineage_rows,
                     new_schema=new_schema,
+                    new_n_buckets=new_n_buckets,
                 )
             except CommitConflict:
                 rebased = self._rebase(
-                    parent, replaced_buckets, last_lsn, batch_id, new_schema
+                    parent, replaced_buckets, last_lsn, batch_id, new_schema,
+                    new_n_buckets,
                 )
                 if rebased is None:
                     raise
@@ -1000,6 +1005,7 @@ class LakeTable:
             batch_id=batch_id,
             lineage_rows=lineage_rows,
             new_schema=new_schema,
+            new_n_buckets=new_n_buckets,
         )
 
     def _rebase(
@@ -1009,6 +1015,7 @@ class LakeTable:
         last_lsn: int | None,
         batch_id: str | None,
         new_schema: TableSchema | None,
+        new_n_buckets: int | None = None,
     ) -> tuple[Snapshot, list[DataFile]] | None:
         """Decide whether a CAS-losing commit can re-target the current
         snapshot unchanged. Returns ``(fresh_parent, carried_files)`` or
@@ -1031,7 +1038,11 @@ class LakeTable:
           this commit depended on — no rebase.
         """
         fresh = self.log.read_current()
-        if fresh is None or new_schema is not None:
+        if fresh is None or new_schema is not None or new_n_buckets is not None:
+            return None
+        if fresh.n_buckets != parent.n_buckets:
+            # a rebucket landed under us: our files carry stale bucket
+            # ids — never carry or re-target across a bucket-count change
             return None
         if batch_id is not None and self.is_batch_committed(batch_id, fresh):
             return None
@@ -1062,6 +1073,7 @@ class LakeTable:
         batch_id: str | None,
         lineage_rows: list[dict] | None,
         new_schema: TableSchema | None,
+        new_n_buckets: int | None = None,
     ) -> Snapshot:
         kept_manifests = self._carry_manifests(parent, replaced_buckets)
         schema = new_schema or parent.schema
@@ -1096,7 +1108,7 @@ class LakeTable:
         new_snap = Snapshot(
             version=new_version,
             schema=schema,
-            n_buckets=parent.n_buckets,
+            n_buckets=new_n_buckets or parent.n_buckets,
             key_cols=parent.key_cols,
             manifests=kept_manifests + self._write_manifests(new_files),
             last_lsn=parent.last_lsn if last_lsn is None else last_lsn,
@@ -1433,6 +1445,51 @@ class LakeTable:
             if ok and lo is not None:
                 out[c] = (lo, hi)
         return out
+
+    def rebucket(
+        self,
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> Snapshot:
+        """Change the table's bucket count in one atomic snapshot swap —
+        the answer to "the table outgrew the bucket count it was created
+        with". At the 100 TB design point a bucket must stay
+        executor-memory-sized (``module doc, :19``), so a table that
+        grows 100× needs its keyspace re-split; this rewrites the fully
+        folded current state (merge-on-read deltas resolved) under the
+        new ``pmod(hash(keys), n)`` layout, with the optional clustering
+        knobs of ``compact``. One shuffle on the new bucket hash, one
+        commit.
+
+        Everything per-snapshot follows automatically: later merges,
+        point-lookup bucket pruning, and the data source's partition
+        planning all read ``n_buckets`` from the snapshot they resolve,
+        and time travel to a pre-rebucket version uses that version's
+        own count. The commit is strict first-writer-wins (no optimistic
+        rebase in either direction — a concurrent ingest's files carry
+        bucket ids of the old layout, which can never be carried across
+        a count change; the loser re-merges from the fresh snapshot).
+        Old files stay referenced by old snapshots until
+        ``expire_snapshots`` + ``vacuum``.
+        """
+        snap = self.snapshot
+        if n_buckets == snap.n_buckets:
+            return snap
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        merged = self.read(version=snap.version)
+        new_files = self.write_bucket_files(
+            merged,
+            snap.version + 1,
+            sort_within=sort_by,
+            max_rows_per_file=max_rows_per_file,
+            n_buckets_override=n_buckets,
+        )
+        all_buckets = {f.bucket for f in snap.files}
+        return self.commit_replace_buckets(
+            snap, all_buckets, new_files, new_n_buckets=n_buckets
+        )
 
     def compact(
         self,

@@ -1550,6 +1550,65 @@ def cdc_timetravel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucket-count evolution as a query — the table outgrew its creation
+# count: replay lands a CoW epoch then an uncompacted merge-on-read
+# epoch into 8 buckets, ``rebucket(32)`` rewrites the folded state
+# under the new pmod(hash, 32) layout in one atomic commit, and the
+# state read back (through the new layout, with point-lookup pruning
+# now resolving against 32) must equal the independent DuckDB LWW
+# replay. Ref: the reference has a fixed single-prefix layout
+# (panorama_datalake.py:215-258); bucket evolution is the lakehouse
+# capability that lets the same table span 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _cdc_rebucket_root() -> str:
+    return _scratch_root("cdc_rebucket")
+
+
+def cdc_rebucket(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from .cdc import CdcEngine, ChangeLogSpec, generate_change_log
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "repo", "string", False),
+            Field(2, "path", "string", False),
+            Field(3, "commit", "string"),
+            Field(4, "lang", "string"),
+            Field(5, "content", "string"),
+        ],
+        schema_version=1,
+    )
+    spec = ChangeLogSpec(n_events=20_000, n_keys=1_500)
+    log = generate_change_log(spark, spec)
+    root = _cdc_rebucket_root()
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    table = LakeTable.create(
+        spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=8
+    )
+    CdcEngine(table).replay(log, batch_size=10_000, max_lsn=9_999)
+    # second epoch stays uncompacted merge-on-read: the rebucket must
+    # fold the deltas while re-splitting the keyspace
+    CdcEngine(table, strategy="append_delta").replay(log, batch_size=10_000)
+    assert table.snapshot.delta_buckets()
+    snap = table.rebucket(32)
+    assert snap.n_buckets == 32 and not snap.delta_buckets()
+    return table.read().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("content_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persisted-catalog read path — the Glue/Athena persistence analogue
 # (ref ``panorama_datalake.py:169-213``, ``panorama_elt.py:283-343``):
 # replay a log into a lake (CoW epoch, then an uncompacted merge-on-read
@@ -1883,6 +1942,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_changes_schema_evo": cdc_changes_schema_evo,
         "cdc_catalog_attach": cdc_catalog_attach,
         "cdc_timetravel": cdc_timetravel,
+        "cdc_rebucket": cdc_rebucket,
         "zm1_pruned_time_range": zm1_pruned_time_range,
         "zm2_zorder_two_dim": zm2_zorder_two_dim,
     }
@@ -1936,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_timetravel": _lww_oracle_sql(
             f"{_cdc_timetravel_root()}/log/*.parquet", max_lsn=_TIMETRAVEL_PIN_LSN
         ),
+        "cdc_rebucket": _lww_oracle_sql(f"{_cdc_rebucket_root()}/log/*.parquet"),
         "cdc_changes_schema_evo": _cdc_changes_evo_sql(),
         "zm1_pruned_time_range": _ZM1_SQL,
         "zm2_zorder_two_dim": _ZM2_SQL,
