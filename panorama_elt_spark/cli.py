@@ -268,6 +268,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    """Create/move a named snapshot tag (pins the version against
+    expire-snapshots; readable via read(ref=) / .option(\"ref\", ...))."""
+    spark = get_spark("panorama-tag")
+    table = LakeTable.load(spark, args.root)
+    if args.drop:
+        table.drop_tag(args.name)
+        print(f"dropped tag {args.name}")
+    else:
+        v = table.tag(args.name, args.version)
+        print(f"tag {args.name} -> v{v}")
+    return 0
+
+
+def cmd_refs(args) -> int:
+    spark = get_spark("panorama-refs")
+    table = LakeTable.load(spark, args.root)
+    print(json.dumps(table.refs(), indent=2, sort_keys=True))
+    return 0
+
+
 def cmd_rebucket(args) -> int:
     """Change the table's bucket count (atomic full rewrite)."""
     spark = get_spark("panorama-rebucket")
@@ -393,6 +414,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--root", required=True)
     p.add_argument("--n-buckets", type=int, required=True, dest="n_buckets")
     p.set_defaults(fn=cmd_rebucket)
+
+    p = sub.add_parser("tag")
+    p.add_argument("--root", required=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--drop", action="store_true")
+    p.set_defaults(fn=cmd_tag)
+
+    p = sub.add_parser("refs")
+    p.add_argument("--root", required=True)
+    p.set_defaults(fn=cmd_refs)
 
     p = sub.add_parser("expire-snapshots")
     p.add_argument("--root", required=True)

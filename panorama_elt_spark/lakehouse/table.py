@@ -570,6 +570,7 @@ class LakeTable:
         version: int | None = None,
         with_deltas: bool = True,
         predicates: list[tuple[str, str, object]] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state; ``buckets`` prunes the scan to
         the named buckets only — the merge path's file pruning.
@@ -583,7 +584,12 @@ class LakeTable:
         ``append_delta`` strategy), they are folded in here — base rows
         tagged ``__lsn = -1`` union the delta rows, one LWW aggregate
         resolves the winner per key, delete markers drop. A compacted
-        table (no deltas) reads with zero shuffle, exactly as before."""
+        table (no deltas) reads with zero shuffle, exactly as before.
+        ``ref`` names a tag (``refs()``) instead of a numeric version."""
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version or ref, not both")
+            version = self.resolve_ref(ref)
         snap = self.snapshot if version is None else self.log.read_version(version)
         return self._read_state(snap, snap, buckets, with_deltas, predicates)
 
@@ -1446,6 +1452,61 @@ class LakeTable:
                 out[c] = (lo, hi)
         return out
 
+    # ------------------------------------------------------------ named refs
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, "_meta", "refs.json")
+
+    def refs(self) -> dict[str, int]:
+        """Named snapshot refs (tags): ``{name: version}``. Tags pin a
+        version against ``expire_snapshots`` and give readers a stable
+        name (``read(ref=...)``, data source ``.option("ref", ...)``) —
+        the Iceberg tag shape. Stored in one ``_meta/refs.json``
+        document through the FileIO seam."""
+        import json
+
+        try:
+            return {
+                k: int(v) for k, v in json.loads(
+                    self.io.read_text(self._refs_path())
+                ).items()
+            }
+        except (FileNotFoundError, NotADirectoryError):
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create or move the tag ``name`` to ``version`` (default: the
+        current snapshot). The version must still exist in the log.
+        Ref updates are last-writer-wins on the refs document — tags
+        are a human/maintenance-cadence surface, not a commit path."""
+        import json
+
+        if not name or "/" in name or name != name.strip():
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.snapshot.version if version is None else version
+        self.log.read_version(v)  # raises if expired/nonexistent
+        refs = self.refs()
+        refs[name] = v
+        self.io.write_text(self._refs_path(), json.dumps(refs, indent=1))
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        import json
+
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(name)
+        del refs[name]
+        self.io.write_text(self._refs_path(), json.dumps(refs, indent=1))
+
+    def resolve_ref(self, ref: str) -> int:
+        refs = self.refs()
+        if ref not in refs:
+            raise KeyError(
+                f"unknown ref {ref!r}; known: {sorted(refs)}"
+            )
+        return refs[ref]
+
     def rebucket(
         self,
         n_buckets: int,
@@ -1611,10 +1672,14 @@ class LakeTable:
         would otherwise grow one document per commit forever). Time
         travel and change feeds to expired versions end; data and
         lineage-spill files only they referenced become orphans that
-        ``vacuum()`` then removes. The current version is always kept."""
+        ``vacuum()`` then removes. The current version and any version
+        pinned by a tag (``refs()``) are always kept — vacuum derives
+        its live set from the remaining documents, so a tag protects
+        the tagged snapshot's files too."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         cur = self.snapshot.version
+        pinned = set(self.refs().values())
         removed = 0
         for name in self.io.list_dir(self.log.meta_dir):
             if not (name.startswith("v") and name.endswith(".json")):
@@ -1622,6 +1687,8 @@ class LakeTable:
             try:
                 v = int(name[1:-5])
             except ValueError:
+                continue
+            if v in pinned:
                 continue
             if v <= cur - keep_last:
                 self.io.delete(os.path.join(self.log.meta_dir, name))

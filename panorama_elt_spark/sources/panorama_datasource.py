@@ -493,6 +493,24 @@ def _empty_changes_partition(root: str, snap: Snapshot) -> ChangesPartition:
 # ---------------------------------------------------------------------------
 
 
+def _resolve_version_option(log: SnapshotLog, root: str, options) -> int | None:
+    """``version`` (numeric) or ``ref`` (a tag name in ``_meta/refs.json``,
+    ``LakeTable.tag``) → snapshot version; None = current."""
+    version = options.get("version")
+    ref = options.get("ref")
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        import json
+        import os as _os
+
+        refs = json.loads(log.io.read_text(_os.path.join(root, "_meta", "refs.json")))
+        if ref not in refs:
+            raise KeyError(f"unknown ref {ref!r}; known: {sorted(refs)}")
+        return int(refs[ref])
+    return None if version is None else int(version)
+
+
 class PanoramaReader(DataSourceReader):
     """State read: the table's committed rows at a snapshot."""
 
@@ -501,7 +519,7 @@ class PanoramaReader(DataSourceReader):
         log = SnapshotLog(root)
         if not log.exists():
             raise FileNotFoundError(f"no lake table at {root}")
-        version = options.get("version")
+        version = _resolve_version_option(log, root, options)
         self.snap = (
             log.read_current() if version is None else log.read_version(int(version))
         )
@@ -1122,7 +1140,7 @@ class PanoramaDataSource(DataSource):
 
     def schema(self) -> StructType:
         log = SnapshotLog(self._root())
-        version = self.options.get("version")
+        version = _resolve_version_option(log, self._root(), self.options)
         snap = (
             log.read_current() if version is None else log.read_version(int(version))
         )
