@@ -260,10 +260,17 @@ def cmd_vacuum(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    """Fold merge-on-read delta files into base files."""
+    """Fold merge-on-read delta files into base files; with --sort-by
+    it is a clustering rewrite (--layout zorder = Morton interleave so
+    every sort column's zone maps prune — OPTIMIZE ZORDER BY)."""
     spark = get_spark("panorama-compact")
     table = LakeTable.load(spark, args.root)
-    n = table.compact()
+    sort_by = args.sort_by.split(",") if args.sort_by else None
+    n = table.compact(
+        sort_by=sort_by,
+        max_rows_per_file=args.max_rows_per_file,
+        layout=args.layout,
+    )
     print(f"compacted {n} buckets (snapshot v{table.snapshot.version})")
     return 0
 
@@ -408,6 +415,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("compact")
     p.add_argument("--root", required=True)
+    p.add_argument("--sort-by", default=None, dest="sort_by",
+                   help="comma-separated clustering columns")
+    p.add_argument("--max-rows-per-file", type=int, default=None,
+                   dest="max_rows_per_file")
+    p.add_argument("--layout", default="linear", choices=["linear", "zorder"])
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("rebucket")

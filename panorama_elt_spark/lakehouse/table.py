@@ -598,6 +598,7 @@ class LakeTable:
         predicates: list[tuple[str, str, object]],
         version: int | None = None,
         with_deltas: bool = True,
+        ref: str | None = None,
     ) -> DataFrame:
         """Predicate read = metadata pruning + residual filter. Two
         metadata levels act before any file IO: key-equality predicates
@@ -612,6 +613,10 @@ class LakeTable:
         commits correlate file windows with ingestion time, so
         time-range queries plan a sliver of the table.
         """
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version or ref, not both")
+            version = self.resolve_ref(ref)
         snap = self.snapshot if version is None else self.log.read_version(version)
         predicates = normalize_pred_tz(
             predicates, self.spark.conf.get("spark.sql.session.timeZone")

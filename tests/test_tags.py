@@ -95,3 +95,16 @@ def test_tag_cli(spark, tmp_path):
     assert refs == {"release": t.snapshot.version}
     run("tag", "--root", t.root, "--name", "release", "--drop")
     assert json.loads(run("refs", "--root", t.root)) == {}
+
+
+def test_read_where_by_ref(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    cur = t.snapshot.version
+    t.tag("audit", cur - 2)
+    row = t.read(version=cur - 2).limit(1).collect()[0]
+    got = t.read_where(
+        [("repo", "eq", row["repo"]), ("path", "eq", row["path"])], ref="audit"
+    ).collect()
+    assert len(got) == 1 and got[0]["commit"] == row["commit"]
+    with pytest.raises(ValueError):
+        t.read_where([], version=cur, ref="audit")

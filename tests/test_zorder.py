@@ -191,3 +191,29 @@ def test_compact_rejects_bad_layout(spark, tmp_path):
         t.compact(sort_by=["ts"], layout="zorder")
     with pytest.raises(ValueError, match="unknown layout"):
         t.compact(sort_by=["ts", "val"], layout="hilbert")
+
+
+def test_compact_cli_zorder(spark, tmp_path, monkeypatch):
+    import subprocess
+    import sys
+
+    monkeypatch.setenv("PANORAMA_TASK_WRITE_MIN_ROWS", "0")
+    t = LakeTable.create(spark, str(tmp_path / "c"), SCHEMA, ["id"], n_buckets=2)
+    t.append(_frame(spark, 4000))
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "panorama_elt_spark.cli", "compact",
+            "--root", t.root, "--sort-by", "ts,val",
+            "--layout", "zorder", "--max-rows-per-file", "500",
+        ],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "PANORAMA_TASK_WRITE_MIN_ROWS": "0"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "compacted 2 buckets" in out.stdout
+    t2 = LakeTable.load(spark, t.root)
+    assert len(t2.snapshot.files) >= 8
+    # both dimensions carry usable zone maps after the CLI rewrite
+    assert _planned(t2, [("val", "ge", 100.0), ("val", "lt", 228.0)]) < len(
+        t2.snapshot.files
+    )
