@@ -285,6 +285,7 @@ def _task_write_fn(
     flush_rows: int = 1 << 16,
     stat_cols: list[tuple[str, str, str]] | None = None,
     max_rows_per_file: int | None = None,
+    bloom_col: str | None = None,
 ):
     """mapInArrow kernel: write this partition's rows as parquet files
     (one per bucket present), streaming row groups so a 100 TB-scale
@@ -335,6 +336,7 @@ def _task_write_fn(
                 "buf_rows": 0,
                 "total": 0,
                 "seq": seq,
+                "kh": [],
             }
 
         def finalize(st: dict, b: int) -> None:
@@ -347,6 +349,19 @@ def _task_write_fn(
                 if stat_cols
                 else None
             )
+            if st["kh"]:
+                # per-file key bloom sidecar (lakehouse/bloom.py): built
+                # vectorized from the F.hash column Spark computed
+                # JVM-side; nothing lands in the manifest — the probe
+                # discovers sidecars by path and treats absence as
+                # "no bloom, keep the file"
+                import numpy as _np
+
+                from panorama_elt_spark.lakehouse import bloom as _bloom
+
+                m, bits = _bloom.build(_np.concatenate(st["kh"]))
+                with open(st["abs_path"] + ".bloom", "w") as fh:
+                    fh.write(_bloom.serialize(m, bits))
             out_rows.append(
                 {
                     "path": st["rel_path"],
@@ -377,12 +392,13 @@ def _task_write_fn(
             buckets = tbl.column(BUCKET_COL).unique().to_pylist()
             for b in buckets:
                 b = int(b)
-                sub = (
+                sub_full = (
                     tbl.filter(pc.equal(tbl.column(BUCKET_COL), b))
                     if len(buckets) > 1
                     else tbl
                 )
-                sub = sub.select(out_names).cast(arrow_schema)
+                kh = sub_full.column(bloom_col) if bloom_col else None
+                sub = sub_full.select(out_names).cast(arrow_schema)
                 if b not in writers:
                     writers[b] = open_file(b, 0)
                 # slice the batch to the open file's remaining capacity
@@ -397,6 +413,13 @@ def _task_write_fn(
                         take = min(take, max(room, 1))
                     piece = sub.slice(0, take)
                     sub = sub.slice(take)
+                    if kh is not None:
+                        st["kh"].append(
+                            kh.slice(0, take)
+                            .combine_chunks()
+                            .to_numpy(zero_copy_only=False)
+                        )
+                        kh = kh.slice(take)
                     st["buf"].extend(piece.to_batches())
                     st["buf_rows"] += piece.num_rows
                     if st["buf_rows"] >= flush_rows or (
@@ -639,6 +662,7 @@ class LakeTable:
                 value_sets[col] = (
                     vals if col not in value_sets else value_sets[col] & vals
                 )
+            file_filter = None
             if set(value_sets) == set(snap.key_cols):
                 combos = 1
                 for vs in value_sets.values():
@@ -646,19 +670,61 @@ class LakeTable:
                 if combos <= 1024:
                     from itertools import product
 
+                    from ..functions.murmur import murmur3_hash
+
                     types = [types_by_col[c] for c in snap.key_cols]
-                    buckets = {
-                        bucket_of(list(combo), types, snap.n_buckets)
+                    combo_list = [
+                        list(combo)
                         for combo in product(
                             *[sorted(value_sets[c]) for c in snap.key_cols]
                         )
+                    ]
+                    buckets = {
+                        bucket_of(c, types, snap.n_buckets) for c in combo_list
                     }
-        df = self._read_state(snap, snap, buckets, with_deltas, predicates)
+                    # third metadata level: per-file key blooms
+                    # (lakehouse/bloom.py) — probe the candidate bucket's
+                    # sidecars with the same fingerprints and plan only
+                    # files that could hold one of the keys; no false
+                    # negatives, so the fold's inputs never lose a row
+                    fps = [murmur3_hash(c, types) for c in combo_list]
+                    file_filter = self._bloom_file_filter(fps)
+        else:
+            file_filter = None
+        df = self._read_state(
+            snap, snap, buckets, with_deltas, predicates, file_filter=file_filter
+        )
         cond = None
         for col, op, value in predicates:
             e = _pred_column_expr(col, op, value)
             cond = e if cond is None else cond & e
         return df if cond is None else df.filter(cond)
+
+    def _bloom_file_filter(self, fingerprints: list[int]):
+        """File predicate over per-file key bloom sidecars: keep a file
+        unless its bloom proves none of the probe fingerprints are in
+        it. Sidecars are discovered by path (``<file>.bloom``); a
+        missing or unreadable sidecar keeps the file (conservative).
+        Sidecar docs cache per call."""
+        from .bloom import deserialize, might_contain
+
+        cache: dict[str, object] = {}
+
+        def keep(f) -> bool:
+            doc = cache.get(f.path)
+            if doc is None:
+                try:
+                    doc = deserialize(
+                        self.io.read_text(os.path.join(self.root, f.path + ".bloom"))
+                    )
+                except Exception:
+                    doc = False  # unreadable: never skip this file
+                cache[f.path] = doc
+            if doc is False:
+                return True
+            return any(might_contain(doc, fp) for fp in fingerprints)
+
+        return keep
 
     def _read_state(
         self,
@@ -667,6 +733,7 @@ class LakeTable:
         buckets: set[int] | None = None,
         with_deltas: bool = True,
         predicates: list[tuple[str, str, object]] | None = None,
+        file_filter=None,
     ) -> DataFrame:
         """``snap``'s row state projected onto ``proj``'s schema (the
         field-id mapper reads any file under any historical schema, so
@@ -677,6 +744,8 @@ class LakeTable:
         files = snap.files if buckets is None else snap.files_in_buckets(buckets)
         if predicates:
             files = _prune_files_for_state(proj, files, predicates)
+        if file_filter is not None:
+            files = [f for f in files if file_filter(f)]
         base = self._read_mapped(proj, [f for f in files if f.kind == "base"])
         delta_files = [f for f in files if f.kind == "delta"]
         if not delta_files or not with_deltas:
@@ -829,6 +898,24 @@ class LakeTable:
 
             from pyspark.sql.pandas.types import to_arrow_schema
 
+            # per-file key blooms (lakehouse/bloom.py): the fingerprint
+            # is the SAME F.hash the bucket layout uses, computed
+            # JVM-side as a column; the kernel folds it into a sidecar
+            # filter per file and drops it before writing
+            from ..functions.murmur import SUPPORTED_TYPES as _MUR_TYPES
+
+            key_types = [
+                f.type for f in snap.schema.fields if f.name in snap.key_cols
+            ]
+            bloom_on = (
+                os.environ.get("PANORAMA_BLOOM", "1") != "0"
+                and len(key_types) == len(snap.key_cols)
+                and all(t in _MUR_TYPES for t in key_types)
+            )
+            if bloom_on:
+                out = out.withColumn(
+                    "__kh", F.hash(*[F.col(c) for c in snap.key_cols])
+                )
             data_struct = df.schema  # caller already projected the columns
             writer_df = out.mapInArrow(
                 _task_write_fn(
@@ -838,6 +925,7 @@ class LakeTable:
                     to_arrow_schema(data_struct),
                     stat_cols=stat_cols,
                     max_rows_per_file=max_rows_per_file,
+                    bloom_col="__kh" if bloom_on else None,
                 ),
                 "path string, bucket int, rows bigint, stats string",
             )
@@ -1728,6 +1816,10 @@ class LakeTable:
         for sub in ("data", os.path.join("_meta", "lineage")):
             for path in self.io.list(os.path.join(self.root, sub)):
                 if path.endswith(".parquet") and path not in live:
+                    self.io.delete(path)
+                    removed += 1
+                elif path.endswith(".bloom") and path[: -len(".bloom")] not in live:
+                    # bloom sidecars follow their parquet file's lifetime
                     self.io.delete(path)
                     removed += 1
         for sub in (self.log.manifest_dir, os.path.join("_meta", "batchids")):
