@@ -96,7 +96,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..functions.murmur import SUPPORTED_TYPES, bucket_of
+from ..functions.murmur import SUPPORTED_TYPES, bucket_of, murmur3_hash
 from ..lakehouse.snapshot import (
     Snapshot,
     SnapshotLog,
@@ -526,6 +526,7 @@ class PanoramaReader(DataSourceReader):
         assert self.snap is not None
         self.with_deltas = str(options.get("with_deltas", "true")).lower() != "false"
         self._allowed_buckets: set[int] | None = None
+        self._key_fingerprints: list[int] | None = None
         self._preds: list[tuple[str, str, object]] = []
         try:  # session tz for naive-datetime predicate coercion
             from pyspark.sql import SparkSession
@@ -601,12 +602,20 @@ class PanoramaReader(DataSourceReader):
                     combos *= len(vs)
                 if combos <= _MAX_PRUNE_COMBOS:
                     types = [types_by_col[c] for c in snap.key_cols]
-                    self._allowed_buckets = {
-                        bucket_of(list(combo), types, snap.n_buckets)
+                    combo_list = [
+                        list(combo)
                         for combo in _product(
                             *[sorted(value_sets[c]) for c in snap.key_cols]
                         )
+                    ]
+                    self._allowed_buckets = {
+                        bucket_of(c, types, snap.n_buckets) for c in combo_list
                     }
+                    # third level: per-file key bloom sidecars
+                    # (lakehouse/bloom.py) probed at plan time
+                    self._key_fingerprints = [
+                        murmur3_hash(c, types) for c in combo_list
+                    ]
         return iter(filters)  # pruning-only: Spark re-applies everything
 
     # --------------------------------------------------------- planning
@@ -624,6 +633,23 @@ class PanoramaReader(DataSourceReader):
             files = _prune_files_for_state(
                 snap, files, normalize_pred_tz(self._preds, self._session_tz)
             )
+        if self._key_fingerprints:
+            # bloom sidecar probe: plan only files that can hold one of
+            # the pinned keys (no false negatives; a missing/unreadable
+            # sidecar keeps its file — same rule as LakeTable.read_where)
+            from ..lakehouse.bloom import deserialize, might_contain
+
+            kept = []
+            for f in files:
+                try:
+                    with open(os.path.join(self.root, f.path + ".bloom")) as fh:
+                        doc = deserialize(fh.read())
+                except (OSError, ValueError):
+                    kept.append(f)
+                    continue
+                if any(might_contain(doc, fp) for fp in self._key_fingerprints):
+                    kept.append(f)
+            files = kept
         by_bucket: dict[int, list[tuple[str, int, str]]] = {}
         for f in files:
             if f.kind == "delta" and not self.with_deltas:

@@ -151,3 +151,28 @@ def test_vacuum_reaps_orphan_sidecars(spark, tmp_path, monkeypatch):
     rel = {os.path.relpath(p, t.root)[: -len(".bloom")] for p in leftover}
     assert rel <= live  # every surviving sidecar belongs to a live file
     assert t.read_where([("id", "eq", 77)]).count() == 1
+
+
+def test_bloom_through_datasource_planning(spark, tmp_path, monkeypatch):
+    """format("panorama") point lookups probe the same sidecars at plan
+    time: fewer files planned, identical rows."""
+    monkeypatch.setenv("PANORAMA_TASK_WRITE_MIN_ROWS", "0")
+    from pyspark.sql.datasource import EqualTo
+    from panorama_elt_spark.catalog import register_data_source
+    from panorama_elt_spark.sources.panorama_datasource import PanoramaReader
+
+    t = _bloom_table(spark, tmp_path)
+    unfiltered = PanoramaReader(t.root, {})
+    n_all = sum(len(p.files) for p in unfiltered.partitions())
+    pruned = PanoramaReader(t.root, {})
+    list(pruned.pushFilters([EqualTo(("id",), 1234)]))
+    n_pruned = sum(len(p.files) for p in pruned.partitions())
+    assert 0 < n_pruned < n_all / 4, (n_pruned, n_all)
+    register_data_source(spark)
+    got = (
+        spark.read.format("panorama")
+        .load(t.root)
+        .filter("id = 1234")
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["val"] == 1234.0
