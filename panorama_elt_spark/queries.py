@@ -1896,8 +1896,62 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
-# registry
+# Bloom point lookup — the third metadata level as a query: the events
+# land bucketed on event_id and are clustered into many bounded files;
+# a 12-key IN lookup through read_where then prunes bucket-first
+# (driver-side Murmur3), zone-maps second, and finally probes each
+# candidate file's bloom sidecar (lakehouse/bloom.py) — planning ~one
+# file per key instead of every file in the key's bucket. Pruning is
+# conservative (no false negatives), so the oracle is the plain IN
+# aggregate over the same parquet input.
 # ---------------------------------------------------------------------------
+
+_ZM3_IDS = [37, 411, 999, 1531, 2222, 3141, 4096, 5555, 6001, 7777, 8880, 9900]
+
+
+def zm3_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from .lakehouse import Field, LakeTable, TableSchema
+
+    schema = TableSchema(
+        [
+            Field(1, "event_id", "bigint", False),
+            Field(2, "ts", "timestamp"),
+            Field(3, "user_id", "bigint"),
+            Field(4, "event_type", "string"),
+            Field(5, "value", "double"),
+        ],
+        schema_version=1,
+    )
+    events = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = _scratch_root("zm3")
+    shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, os.path.join(root, "events"), schema, ["event_id"], n_buckets=8
+    )
+    table.append(events)
+    table.compact(sort_by=["ts"], max_rows_per_file=500)
+    hits = table.read_where([("event_id", "in", _ZM3_IDS)])
+    return hits.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 6).alias("value_r"),
+    )
+
+
+def _zm3_sql() -> str:
+    ids = ", ".join(str(i) for i in _ZM3_IDS)
+    return f"""
+SELECT event_id, event_type, round(value, 6) AS value_r
+FROM events WHERE event_id IN ({ids})
+"""
+
+
 
 def queries() -> dict[str, QueryFn]:
     return {
@@ -1945,6 +1999,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_rebucket": cdc_rebucket,
         "zm1_pruned_time_range": zm1_pruned_time_range,
         "zm2_zorder_two_dim": zm2_zorder_two_dim,
+        "zm3_bloom_point_lookup": zm3_bloom_point_lookup,
     }
 
 
@@ -2000,4 +2055,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes_schema_evo": _cdc_changes_evo_sql(),
         "zm1_pruned_time_range": _ZM1_SQL,
         "zm2_zorder_two_dim": _ZM2_SQL,
+        "zm3_bloom_point_lookup": _zm3_sql(),
     }
