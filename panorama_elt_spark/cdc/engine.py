@@ -122,6 +122,7 @@ class CdcEngine:
         self._applied_since_compact = 0
         self._compact_pool = None
         self._compact_fut = None
+        self._compact_table = None
 
     def _maybe_compact(self) -> None:
         if not self.compact_async:
@@ -139,7 +140,20 @@ class CdcEngine:
             self._compact_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="cdc-compact"
             )
-        self._compact_fut = self._compact_pool.submit(self.table.compact)
+        if self._compact_table is None:
+            from ..lakehouse.table import LakeTable
+
+            # the fold runs on a CLONED SparkSession (same SparkContext,
+            # isolated SQLConf): its conf pinning (arrow write-batch
+            # size) can then never interleave with the merge thread's
+            # pinned-shuffle window on the main session — the conf-leak
+            # race the per-session lock cannot cover across threads that
+            # would otherwise share one session. State is on disk (the
+            # snapshot log), so both handles see the same table.
+            self._compact_table = LakeTable(
+                self.table.spark.newSession(), self.table.root, self.table.io
+            )
+        self._compact_fut = self._compact_pool.submit(self._compact_table.compact)
 
     def finish_compactions(self) -> None:
         """Join the in-flight background compaction, surfacing its

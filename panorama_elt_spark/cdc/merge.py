@@ -219,16 +219,26 @@ def _resolve_requested_strategy(arg: str) -> str:
 @contextmanager
 def _pinned_shuffle(spark, n_partitions: int):
     """Pin the aggregate exchange to the bucket count (and stop AQE from
-    coalescing it) so shuffle partition id == bucket id for the write."""
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+    coalescing it) so shuffle partition id == bucket id for the write.
+
+    Guarded by the per-session conf lock (``table._session_conf_lock``,
+    reentrant — the write's own arrow-batch pinning nests inside): two
+    threads on one session interleaving their set/restore windows would
+    otherwise leave the pinned values stuck session-wide. Cross-session
+    work (the async-compaction thread runs on a cloned session) never
+    contends."""
+    from ..lakehouse.table import _session_conf_lock
+
+    with _session_conf_lock(spark):
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
 
 
 def _bucket_local_map_fn(
@@ -274,9 +284,18 @@ def _bucket_local_map_fn(
                 [pq.read_table(p, columns=out_names) for p in paths]
             )
             res = res_tbl.to_pandas(types_mapper=pd.ArrowDtype)
-            batch_keys = pd.MultiIndex.from_frame(ev[key_cols])
-            res_keys = pd.MultiIndex.from_frame(res[key_cols])
-            parts.append(res[~res_keys.isin(batch_keys)])
+            # indicator anti-join instead of MultiIndex.isin: pandas
+            # merge matches null keys (Spark-groupBy semantics), while a
+            # MultiIndex refuses null levels outright — a NULL-keyed row
+            # (valid under the merge contract) must overwrite its
+            # resident twin, not crash the task
+            m = res[key_cols].merge(
+                ev[key_cols].drop_duplicates(),
+                on=key_cols,
+                how="left",
+                indicator=True,
+            )
+            parts.append(res[(m["_merge"] == "left_only").to_numpy()])
         live = ev[ev[op_col] != "D"]
         if not live.empty:
             parts.append(live[out_names])

@@ -92,6 +92,34 @@ def deserialize(text: str) -> dict:
     return doc
 
 
+def sidecar_file_filter(io, root: str, fingerprints: list[int]):
+    """File predicate over per-file key bloom sidecars — the ONE probe
+    implementation shared by ``LakeTable.read_where`` and the
+    ``panorama`` data source's ``pushFilters`` planning, routed through
+    the ``FileIO`` seam (a bare ``open()`` would silently lose bloom
+    pruning on any non-POSIX backend). Keeps a file unless its sidecar
+    proves none of the probe fingerprints are in it; a missing or
+    unreadable sidecar keeps the file (conservative). Sidecar docs
+    cache per call."""
+    import os
+
+    cache: dict[str, object] = {}
+
+    def keep(f) -> bool:
+        doc = cache.get(f.path)
+        if doc is None:
+            try:
+                doc = deserialize(io.read_text(os.path.join(root, f.path + ".bloom")))
+            except Exception:
+                doc = False  # unreadable/missing: never skip this file
+            cache[f.path] = doc
+        if doc is False:
+            return True
+        return any(might_contain(doc, fp) for fp in fingerprints)
+
+    return keep
+
+
 def might_contain(doc: dict, fingerprint: int) -> bool:
     """Probe one 32-bit fingerprint (signed ok) against a deserialized
     sidecar. False ⇒ the key is definitively absent from the file."""

@@ -30,6 +30,7 @@ Design for 100 TB:
 from __future__ import annotations
 
 import os
+import threading as _threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -47,6 +48,19 @@ from .snapshot import (
 )
 
 BUCKET_COL = "__bucket"
+
+# per-session locks guarding session-conf set/run/restore windows (the
+# arrow write-batch pinning): keyed by session id, created lazily. The
+# registry itself is tiny (one entry per live SparkSession).
+_CONF_LOCKS: dict[int, object] = {}
+_CONF_LOCKS_GUARD = _threading.Lock()
+
+
+def _session_conf_lock(spark):
+    # reentrant: the merge pins the shuffle layout around a write whose
+    # own arrow-batch pinning re-enters the same lock on the same thread
+    with _CONF_LOCKS_GUARD:
+        return _CONF_LOCKS.setdefault(id(spark), _threading.RLock())
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -161,6 +175,44 @@ def normalize_pred_tz(predicates, session_tz: str | None):
         else:
             value = fix(value)
         out.append((col, op, value))
+    return out
+
+
+def normalize_key_value_sets(
+    value_sets: dict[str, set], types_by_col: dict[str, str], session_tz: str | None
+) -> dict[str, set] | None:
+    """Session-tz coercion for the *key-hash* pruning path (bucket /
+    bloom): naive datetime values mean session-tz wall time in Spark,
+    but ``murmur3_hash`` hashes naive datetimes as UTC — on a non-UTC
+    session a naive point-lookup value would plan the wrong bucket and
+    silently return no rows. Returns the value sets with naive
+    timestamp values made aware, or ``None`` when that is impossible
+    (unknown/unparseable session tz) — callers must then DISABLE
+    bucket/bloom pruning for this predicate set (conservative: scan
+    more, never miss rows)."""
+    import datetime as _dt
+
+    def naive(v) -> bool:
+        return isinstance(v, _dt.datetime) and v.tzinfo is None
+
+    needs = [
+        c
+        for c, vs in value_sets.items()
+        if types_by_col.get(c) == "timestamp" and any(naive(v) for v in vs)
+    ]
+    if not needs:
+        return value_sets
+    try:
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo(session_tz) if session_tz else None
+    except Exception:
+        tz = None
+    if tz is None:
+        return None
+    out = dict(value_sets)
+    for c in needs:
+        out[c] = {v.replace(tzinfo=tz) if naive(v) else v for v in value_sets[c]}
     return out
 
 
@@ -664,6 +716,15 @@ class LakeTable:
                 )
             file_filter = None
             if set(value_sets) == set(snap.key_cols):
+                # key-hash pruning needs aware timestamps (normalize_pred_tz
+                # leaves values naive when the session tz is unparseable —
+                # there the hash would be wrong, so pruning is disabled)
+                value_sets = normalize_key_value_sets(
+                    value_sets,
+                    types_by_col,
+                    self.spark.conf.get("spark.sql.session.timeZone"),
+                )
+            if value_sets is not None and set(value_sets) == set(snap.key_cols):
                 combos = 1
                 for vs in value_sets.values():
                     combos *= len(vs)
@@ -701,30 +762,11 @@ class LakeTable:
         return df if cond is None else df.filter(cond)
 
     def _bloom_file_filter(self, fingerprints: list[int]):
-        """File predicate over per-file key bloom sidecars: keep a file
-        unless its bloom proves none of the probe fingerprints are in
-        it. Sidecars are discovered by path (``<file>.bloom``); a
-        missing or unreadable sidecar keeps the file (conservative).
-        Sidecar docs cache per call."""
-        from .bloom import deserialize, might_contain
+        """Shared sidecar probe (``bloom.sidecar_file_filter``) bound to
+        this table's ``FileIO`` + root."""
+        from .bloom import sidecar_file_filter
 
-        cache: dict[str, object] = {}
-
-        def keep(f) -> bool:
-            doc = cache.get(f.path)
-            if doc is None:
-                try:
-                    doc = deserialize(
-                        self.io.read_text(os.path.join(self.root, f.path + ".bloom"))
-                    )
-                except Exception:
-                    doc = False  # unreadable: never skip this file
-                cache[f.path] = doc
-            if doc is False:
-                return True
-            return any(might_contain(doc, fp) for fp in fingerprints)
-
-        return keep
+        return sidecar_file_filter(self.io, self.root, fingerprints)
 
     def _read_state(
         self,
@@ -934,15 +976,22 @@ class LakeTable:
             # kernel measured 1.7x slower than the JVM writer; at 128k
             # rows it measured 1.7x FASTER (pyarrow's encoder beats the
             # Hadoop committer path). Pin the batch size for this job.
+            # The set/collect/restore triplet is guarded by a per-session
+            # lock: two threads sharing one session (the same-batch retry
+            # race) would otherwise interleave restores and leave the
+            # pinned value stuck session-wide. The async-compaction
+            # thread runs on its OWN cloned session (CdcEngine), so the
+            # lock never serializes ingest against maintenance.
             batch_rows = os.environ.get("PANORAMA_ARROW_WRITE_BATCH", "131072")
             conf = self.spark.conf
             key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-            old = conf.get(key)
-            conf.set(key, batch_rows)
-            try:
-                manifest_rows = writer_df.collect()
-            finally:
-                conf.set(key, old)
+            with _session_conf_lock(self.spark):
+                old = conf.get(key)
+                conf.set(key, batch_rows)
+                try:
+                    manifest_rows = writer_df.collect()
+                finally:
+                    conf.set(key, old)
             return [
                 DataFile(
                     path=r["path"],
@@ -1266,8 +1315,30 @@ class LakeTable:
         Key columns follow their *field id* through renames: a renamed
         key column keeps its identity (and its rows keep their buckets —
         values are unchanged, only the name moved), so appends and
-        merges after the ALTER address the key by its new name."""
+        merges after the ALTER address the key by its new name.
+
+        Key-column TYPE changes are rejected outright (even registry-
+        legal widenings like int→bigint): Spark's murmur hashes int
+        (4-byte) and bigint (8-byte) values differently, so existing
+        files would keep old-type buckets while ``bucket_expr``, the
+        driver-side point-lookup pruning and the bloom sidecars compute
+        under the new type — splitting keys across buckets (duplicate
+        winners) and silently missing rows on pruned reads. A key-type
+        change needs a full rewrite: ``rebucket(n_buckets)`` after
+        changing the type out-of-band."""
+        from .schema import SchemaEvolutionError
+
         snap = self.snapshot
+        for k in snap.key_cols:
+            old_fld = snap.schema.field_by_name(k)
+            new_fld = new_schema.field_by_id(old_fld.id) if old_fld else None
+            if new_fld is not None and new_fld.type != old_fld.type:
+                raise SchemaEvolutionError(
+                    f"cannot change type of key column {k!r} "
+                    f"({old_fld.type} -> {new_fld.type}): the bucket hash is "
+                    "type-dependent, so existing rows would be addressed under "
+                    "the wrong bucket; rewrite via rebucket() instead"
+                )
         history = dict(snap.schema_history)
         history[new_schema.schema_version] = new_schema
         new_keys = []

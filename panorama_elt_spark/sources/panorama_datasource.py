@@ -46,9 +46,12 @@ And two write surfaces over the same bucket layout (``PanoramaWriter``
 
 Scale design:
 
-* one input partition per live/changed bucket — scan parallelism is the
-  table's bucket count, the same unit the merge writes, so a
-  1000-executor cluster fans out without any repartition;
+* state-read partition grain: one input partition per FILE for
+  delta-free buckets (a compacted bucket's files are independent row
+  sets — scan parallelism is the live file count, not the bucket
+  count), and one per bucket only where merge-on-read deltas force the
+  LWW fold to co-locate a key's rows; change feeds stay bucket-grain
+  (the diff is a per-bucket join);
 * LWW folds and change diffs run inside each bucket partition
   (bucketing co-locates every key's rows), so MOR reads and change
   feeds need **zero shuffle** — Spark sees a plain scan;
@@ -240,19 +243,47 @@ def _lww_winners(tbl, key_cols: list[str]):
     dedupes each batch and the log orders batches), so the equality
     join matches exactly one row per key; a duplicated (key, lsn) would
     mirror ``max_by``'s arbitrary-tie behavior — the guard keeps one.
+
+    NULL keys: Arrow joins never match null keys, so rows with a NULL
+    key column would silently vanish from this fold while the JVM path
+    (groupBy + max_by) groups nulls and keeps them. Null-keyed rows are
+    split off and folded group-wise in pandas (sort by ``__lsn`` desc +
+    ``drop_duplicates``, which treats nulls as equal — Spark's groupBy
+    semantics), then concatenated back — read-surface parity at zero
+    cost on the no-null hot path.
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
+    null_mask = None
+    for k in key_cols:
+        m = pc.is_null(tbl[k])
+        null_mask = m if null_mask is None else pc.or_(null_mask, m)
+    null_part = None
+    if null_mask is not None and pc.any(null_mask).as_py():
+        import pandas as pd
+
+        df = tbl.filter(null_mask).to_pandas(types_mapper=pd.ArrowDtype)
+        df = df.sort_values("__lsn", ascending=False, kind="stable").drop_duplicates(
+            subset=key_cols
+        )
+        null_part = pa.Table.from_pandas(df, preserve_index=False).select(
+            tbl.column_names
+        ).cast(tbl.schema)
+        tbl = tbl.filter(pc.invert(null_mask))
     agg = tbl.group_by(key_cols).aggregate([("__lsn", "max")])
     joined = tbl.join(agg, keys=key_cols, join_type="inner")
     winners = joined.filter(pc.equal(joined["__lsn"], joined["__lsn_max"]))
     if len(winners) > len(agg):  # (key, lsn) tie — keep one row per key
         import pandas as pd
-        import pyarrow as pa
 
         df = winners.to_pandas(types_mapper=pd.ArrowDtype)
         winners = pa.Table.from_pandas(
             df.drop_duplicates(subset=key_cols), preserve_index=False
+        )
+    if null_part is not None and len(null_part):
+        winners = pa.concat_tables(
+            [winners.select(tbl.column_names).cast(tbl.schema), null_part]
         )
     return winners
 
@@ -519,6 +550,7 @@ class PanoramaReader(DataSourceReader):
         log = SnapshotLog(root)
         if not log.exists():
             raise FileNotFoundError(f"no lake table at {root}")
+        self._io = log.io  # planning-time metadata IO (bloom sidecars)
         version = _resolve_version_option(log, root, options)
         self.snap = (
             log.read_current() if version is None else log.read_version(int(version))
@@ -596,7 +628,17 @@ class PanoramaReader(DataSourceReader):
                 value_sets[col] = (
                     vals if col not in value_sets else value_sets[col] & vals
                 )
-            if set(value_sets) == set(snap.key_cols):
+            # a timestamp key predicate arrives as a NAIVE session-local
+            # datetime, but murmur3_hash treats naive as UTC — normalize
+            # with the session tz (LakeTable.read_where parity) or, when
+            # the tz is unknown, disable key-hash pruning entirely
+            # rather than plan the wrong bucket
+            from ..lakehouse.table import normalize_key_value_sets
+
+            value_sets = normalize_key_value_sets(
+                value_sets, types_by_col, self._session_tz
+            )
+            if value_sets is not None and set(value_sets) == set(snap.key_cols):
                 combos = 1
                 for vs in value_sets.values():
                     combos *= len(vs)
@@ -635,21 +677,15 @@ class PanoramaReader(DataSourceReader):
             )
         if self._key_fingerprints:
             # bloom sidecar probe: plan only files that can hold one of
-            # the pinned keys (no false negatives; a missing/unreadable
-            # sidecar keeps its file — same rule as LakeTable.read_where)
-            from ..lakehouse.bloom import deserialize, might_contain
+            # the pinned keys (the SAME probe implementation
+            # LakeTable.read_where uses, routed through the FileIO seam —
+            # a bare open() would silently lose bloom pruning on any
+            # non-POSIX backend; no false negatives, a missing/unreadable
+            # sidecar keeps its file)
+            from ..lakehouse.bloom import sidecar_file_filter
 
-            kept = []
-            for f in files:
-                try:
-                    with open(os.path.join(self.root, f.path + ".bloom")) as fh:
-                        doc = deserialize(fh.read())
-                except (OSError, ValueError):
-                    kept.append(f)
-                    continue
-                if any(might_contain(doc, fp) for fp in self._key_fingerprints):
-                    kept.append(f)
-            files = kept
+            keep = sidecar_file_filter(self._io, self.root, self._key_fingerprints)
+            files = [f for f in files if keep(f)]
         by_bucket: dict[int, list[tuple[str, int, str]]] = {}
         for f in files:
             if f.kind == "delta" and not self.with_deltas:
@@ -662,17 +698,39 @@ class PanoramaReader(DataSourceReader):
             sv: [(f.id, f.name, f.type) for f in s.fields]
             for sv, s in snap.schema_history.items()
         }
-        parts: list[InputPartition] = [
-            BucketPartition(
-                bucket=b,
-                files=fs,
-                root=self.root,
-                target_fields=target,
-                histories=histories,
-                key_cols=list(snap.key_cols),
-            )
-            for b, fs in sorted(by_bucket.items())
-        ]
+        # Partition grain (the 100 TB read-path scale rule): a bucket
+        # needs to stay ONE partition only while it holds merge-on-read
+        # deltas — the LWW fold requires every row of a key in one task.
+        # A delta-free (compacted) bucket's files are independent row
+        # sets, so each file becomes its own input partition: scan
+        # parallelism is the table's live FILE count, not its bucket
+        # count, and a ~6 GB bucket no longer serializes through a
+        # single Python task.
+        parts: list[InputPartition] = []
+        for b, fs in sorted(by_bucket.items()):
+            if any(kind == "delta" for _path, _sv, kind in fs):
+                parts.append(
+                    BucketPartition(
+                        bucket=b,
+                        files=fs,
+                        root=self.root,
+                        target_fields=target,
+                        histories=histories,
+                        key_cols=list(snap.key_cols),
+                    )
+                )
+            else:
+                parts.extend(
+                    BucketPartition(
+                        bucket=b,
+                        files=[f],
+                        root=self.root,
+                        target_fields=target,
+                        histories=histories,
+                        key_cols=list(snap.key_cols),
+                    )
+                    for f in fs
+                )
         if not parts:  # empty table still needs one (empty) partition
             parts = [
                 BucketPartition(
@@ -691,6 +749,7 @@ class PanoramaReader(DataSourceReader):
         # partition payload, so don't ship the snapshot/manifest cache
         state = dict(self.__dict__)
         state["snap"] = None
+        state["_io"] = None
         return state
 
     # ------------------------------------------------------------- read
