@@ -100,11 +100,13 @@ def main() -> None:
                 fh.write(buf.getvalue())
         out[name] = {
             "walls": walls,
-            "best": min(walls),
+            "best": min(walls) if walls else None,
             "probes": probes,
         }
         print(json.dumps({name: out[name]}), flush=True)
-    print(json.dumps({"summary": {k: v["best"] for k, v in out.items()}}), flush=True)
+    print(
+        json.dumps({"summary": {k: v["best"] for k, v in out.items()}}), flush=True
+    )
     spark.stop()
 
 

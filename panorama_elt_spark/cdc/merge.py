@@ -451,6 +451,15 @@ def merge_batch(
         prefilter_max_bytes = int(
             os.environ.get("PANORAMA_PREFILTER_MAX_BYTES", str(256 << 20))
         )
+        # the prefilter's fixed cost is one broadcast build + probe per
+        # batch (~0.2 s locally); its saving scales with the batch's
+        # shuffle bytes, so below ~10^5 rows it is pure overhead —
+        # measured round 6: gating it cut ~0.3-0.5 s off every small
+        # fixture batch while the 4M-row bench batches keep it (guide
+        # §1.2: config thresholds after the algorithm is right)
+        prefilter_min_rows = int(
+            os.environ.get("PANORAMA_PREFILTER_MIN_ROWS", "100000")
+        )
         # the broadcast carries 64-bit key *fingerprints*, so its size is
         # exactly n_keys × ~32 B regardless of key width — a wide
         # composite string key can no longer blow the driver past the
@@ -459,6 +468,7 @@ def merge_batch(
             0 < n_keys <= prefilter_max
             and n_keys * 32 <= prefilter_max_bytes
             and rows_in_total >= 2 * n_keys
+            and rows_in_total >= prefilter_min_rows
         ):
             # Fingerprint semi-filter: events keep a row iff
             # (xxhash64(keys), lsn) appears in the winner set. Safe by

@@ -1261,7 +1261,10 @@ def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
     root = _cdc_replay_root()
     shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # coalesce(4): the 20k-row fixture log otherwise lands as ~64 tiny
+    # files (one per generator task) — fewer files cut the write wall
+    # and the oracle's glob scan; content is identical (guide §6)
+    log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
     table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16)
     CdcEngine(table).replay(log, batch_size=10_000)
     return table.read().select(
@@ -1328,10 +1331,10 @@ def cdc_stream_state(spark: SparkSession, sf: str) -> DataFrame:
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
     )
     # epoch 1: the first half of the tail exists
-    log.filter(F.col("lsn") < 10_000).write.parquet(log_dir)
+    log.filter(F.col("lsn") < 10_000).coalesce(4).write.parquet(log_dir)
     stream_changelog_to_table(spark, log_dir, table, ckpt).awaitTermination()
     # the log grows; a later drain picks up only the new files
-    log.filter(F.col("lsn") >= 10_000).write.mode("append").parquet(log_dir)
+    log.filter(F.col("lsn") >= 10_000).coalesce(4).write.mode("append").parquet(log_dir)
     stream_changelog_to_table(spark, log_dir, table, ckpt).awaitTermination()
     return table.read().select(
         "repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_digest")
@@ -1375,7 +1378,10 @@ def cdc_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     root = _cdc_changes_root()
     shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # coalesce(4): the 20k-row fixture log otherwise lands as ~64 tiny
+    # files (one per generator task) — fewer files cut the write wall
+    # and the oracle's glob scan; content is identical (guide §6)
+    log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
     )
@@ -1457,7 +1463,10 @@ def cdc_changes_mor(spark: SparkSession, sf: str) -> DataFrame:
     root = _cdc_changes_mor_root()
     shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # coalesce(4): the 20k-row fixture log otherwise lands as ~64 tiny
+    # files (one per generator task) — fewer files cut the write wall
+    # and the oracle's glob scan; content is identical (guide §6)
+    log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
     )
@@ -1518,7 +1527,10 @@ def cdc_timetravel(spark: SparkSession, sf: str) -> DataFrame:
     root = _cdc_timetravel_root()
     shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # coalesce(4): the 20k-row fixture log otherwise lands as ~64 tiny
+    # files (one per generator task) — fewer files cut the write wall
+    # and the oracle's glob scan; content is identical (guide §6)
+    log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
     )
@@ -1588,7 +1600,10 @@ def cdc_rebucket(spark: SparkSession, sf: str) -> DataFrame:
     root = _cdc_rebucket_root()
     shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # coalesce(4): the 20k-row fixture log otherwise lands as ~64 tiny
+    # files (one per generator task) — fewer files cut the write wall
+    # and the oracle's glob scan; content is identical (guide §6)
+    log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=8
     )
@@ -1647,7 +1662,10 @@ def cdc_catalog_attach(spark: SparkSession, sf: str) -> DataFrame:
     root = _cdc_catalog_root()
     shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # coalesce(4): the 20k-row fixture log otherwise lands as ~64 tiny
+    # files (one per generator task) — fewer files cut the write wall
+    # and the oracle's glob scan; content is identical (guide §6)
+    log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
     base = os.path.join(root, "lake")
     table = LakeTable.create(
         spark, os.path.join(base, "repos"), schema, ["repo", "path"], n_buckets=16
@@ -1706,7 +1724,10 @@ def cdc_changes_schema_evo(spark: SparkSession, sf: str) -> DataFrame:
     root = _cdc_changes_evo_root()
     shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    log.write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # coalesce(4): the 20k-row fixture log otherwise lands as ~64 tiny
+    # files (one per generator task) — fewer files cut the write wall
+    # and the oracle's glob scan; content is identical (guide §6)
+    log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), v1, ["repo", "path"], n_buckets=16
     )

@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # joins (guide §3.1/§9): allow shuffled-hash where a build side
+        # fits per partition instead of always sort-merge, and let AQE
+        # rewrite SMJ→SHJ at runtime when every post-shuffle partition
+        # is under 64 MB (bounded build memory — scale-safe: oversized
+        # partitions keep sort-merge)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # the panorama python data source prunes buckets via pushFilters
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -412,6 +412,7 @@ def test_winner_prefilter_matches_unfiltered_merge(spark, tmp_path, monkeypatch)
     dup ratio, so every other test exercises it) must produce the exact
     state of the unfiltered fused merge."""
     log = generate_change_log(spark, SPEC)
+    monkeypatch.setenv("PANORAMA_PREFILTER_MIN_ROWS", "0")  # force it on
     t1 = _make_table(spark, tmp_path / "with_pf")
     merge_batch(t1, log, "b0")
     monkeypatch.setenv("PANORAMA_PREFILTER_MAX_KEYS", "0")  # disable
@@ -469,11 +470,12 @@ def test_lineage_counts_outcomes_not_events(spark, tmp_path):
     assert state == {("r1", "a"), ("r1", "e")}
 
 
-def test_prefilter_is_null_key_safe(spark, tmp_path):
+def test_prefilter_is_null_key_safe(spark, tmp_path, monkeypatch):
     """NULL is a valid groupBy key; the winner-prefilter broadcast join
     must not silently drop NULL-keyed events (the prefilter fires
     data-dependently, so dropping them would make the same log produce
     different states depending on dup ratio)."""
+    monkeypatch.setenv("PANORAMA_PREFILTER_MIN_ROWS", "0")  # force it on
     nullable = TableSchema(
         [
             Field(1, "repo", "string", True),
@@ -543,6 +545,7 @@ def test_prefilter_on_off_parity_nasty_log(spark, tmp_path, monkeypatch):
         "lsn bigint, op string, repo string, path string, commit string, lang string, content string",
     )
     states = {}
+    monkeypatch.setenv("PANORAMA_PREFILTER_MIN_ROWS", "0")
     for strategy in ("fused", "append_delta"):
         for prefilter in (True, False):
             monkeypatch.setenv(
