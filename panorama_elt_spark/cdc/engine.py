@@ -311,7 +311,13 @@ class CdcEngine:
                 )
                 stamp = target_schema.schema_version
             stats = compute_batch_stats(
-                batch_events(batch, target, lsn_col=lsn_col), target, lsn_col=lsn_col
+                batch_events(batch, target, lsn_col=lsn_col),
+                target,
+                lsn_col=lsn_col,
+                # aligned LSN ranges bound a batch at ~batch_size rows
+                # (plus the duplicate fraction) — below the prefilter
+                # gate the per_key cache is skipped (merge.py)
+                size_hint_rows=batch_size,
             )
             stats.schema_version = stamp
             return stats

@@ -160,7 +160,11 @@ def batch_events(batch_df: DataFrame, snap, op_col: str = "op", lsn_col: str = "
 
 
 def compute_batch_stats(
-    events: DataFrame, snap, op_col: str = "op", lsn_col: str = "lsn"
+    events: DataFrame,
+    snap,
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    size_hint_rows: int | None = None,
 ) -> BatchStats:
     """ONE slim aggregate over (keys, op, lsn) serving three consumers:
     affected-bucket discovery (pruning), per-bucket lineage stats
@@ -171,21 +175,30 @@ def compute_batch_stats(
     lineage counts outcomes, not raw delete events: a D→U chain is one
     upsert, a multi-D chain is one delete.
 
+    ``size_hint_rows`` (the engine passes its batch size): when the
+    batch is below the prefilter's minimum-rows gate, per_key is left
+    UNPERSISTED — nothing will re-read it, and materializing an AQE
+    aggregate into the memory store measured ~0.4 s of pure overhead
+    per small batch (round-6 guide §1 isolation). Bulk batches keep the
+    cache: the prefilter's winner broadcast reads it instead of
+    re-scanning the raw batch.
+
     Depends only on the batch's events — never on table state — so it
     is safe to run ahead of time, overlapped with the previous batch's
     merge job (see ``CdcEngine.replay``).
     """
     keys = snap.key_cols
-    per_key = (
-        events.groupBy(*keys)
-        .agg(
-            F.max(lsn_col).alias("__maxlsn"),
-            F.min(lsn_col).alias("__lsnlo"),
-            F.count("*").alias("__cnt"),
-            F.max_by(F.col(op_col), F.col(lsn_col)).alias("__winop"),
-        )
-        .persist()
+    cache = size_hint_rows is None or size_hint_rows >= int(
+        os.environ.get("PANORAMA_PREFILTER_MIN_ROWS", "100000")
     )
+    per_key = events.groupBy(*keys).agg(
+        F.max(lsn_col).alias("__maxlsn"),
+        F.min(lsn_col).alias("__lsnlo"),
+        F.count("*").alias("__cnt"),
+        F.max_by(F.col(op_col), F.col(lsn_col)).alias("__winop"),
+    )
+    if cache:
+        per_key = per_key.persist()
     per_bucket = {
         r["__b"]: r
         for r in per_key.groupBy(bucket_expr(keys, snap.n_buckets).alias("__b"))

@@ -1265,6 +1265,10 @@ def cdc_replay_state(spark: SparkSession, sf: str) -> DataFrame:
     # files (one per generator task) — fewer files cut the write wall
     # and the oracle's glob scan; content is identical (guide §6)
     log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # replay from the written parquet: 4 file-tasks + lsn min/max
+    # pushdown per batch scan, vs ~64 range tasks re-deriving the
+    # generator expressions on every stats/merge job (guide §6)
+    log = spark.read.parquet(os.path.join(root, "log"))
     table = LakeTable.create(spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16)
     CdcEngine(table).replay(log, batch_size=10_000)
     return table.read().select(
@@ -1382,6 +1386,10 @@ def cdc_changes_feed(spark: SparkSession, sf: str) -> DataFrame:
     # files (one per generator task) — fewer files cut the write wall
     # and the oracle's glob scan; content is identical (guide §6)
     log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # replay from the written parquet: 4 file-tasks + lsn min/max
+    # pushdown per batch scan, vs ~64 range tasks re-deriving the
+    # generator expressions on every stats/merge job (guide §6)
+    log = spark.read.parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
     )
@@ -1467,6 +1475,10 @@ def cdc_changes_mor(spark: SparkSession, sf: str) -> DataFrame:
     # files (one per generator task) — fewer files cut the write wall
     # and the oracle's glob scan; content is identical (guide §6)
     log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # replay from the written parquet: 4 file-tasks + lsn min/max
+    # pushdown per batch scan, vs ~64 range tasks re-deriving the
+    # generator expressions on every stats/merge job (guide §6)
+    log = spark.read.parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
     )
@@ -1531,6 +1543,10 @@ def cdc_timetravel(spark: SparkSession, sf: str) -> DataFrame:
     # files (one per generator task) — fewer files cut the write wall
     # and the oracle's glob scan; content is identical (guide §6)
     log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # replay from the written parquet: 4 file-tasks + lsn min/max
+    # pushdown per batch scan, vs ~64 range tasks re-deriving the
+    # generator expressions on every stats/merge job (guide §6)
+    log = spark.read.parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=16
     )
@@ -1604,6 +1620,10 @@ def cdc_rebucket(spark: SparkSession, sf: str) -> DataFrame:
     # files (one per generator task) — fewer files cut the write wall
     # and the oracle's glob scan; content is identical (guide §6)
     log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # replay from the written parquet: 4 file-tasks + lsn min/max
+    # pushdown per batch scan, vs ~64 range tasks re-deriving the
+    # generator expressions on every stats/merge job (guide §6)
+    log = spark.read.parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), schema, ["repo", "path"], n_buckets=8
     )
@@ -1666,6 +1686,10 @@ def cdc_catalog_attach(spark: SparkSession, sf: str) -> DataFrame:
     # files (one per generator task) — fewer files cut the write wall
     # and the oracle's glob scan; content is identical (guide §6)
     log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # replay from the written parquet: 4 file-tasks + lsn min/max
+    # pushdown per batch scan, vs ~64 range tasks re-deriving the
+    # generator expressions on every stats/merge job (guide §6)
+    log = spark.read.parquet(os.path.join(root, "log"))
     base = os.path.join(root, "lake")
     table = LakeTable.create(
         spark, os.path.join(base, "repos"), schema, ["repo", "path"], n_buckets=16
@@ -1728,6 +1752,10 @@ def cdc_changes_schema_evo(spark: SparkSession, sf: str) -> DataFrame:
     # files (one per generator task) — fewer files cut the write wall
     # and the oracle's glob scan; content is identical (guide §6)
     log.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "log"))
+    # replay from the written parquet: 4 file-tasks + lsn min/max
+    # pushdown per batch scan, vs ~64 range tasks re-deriving the
+    # generator expressions on every stats/merge job (guide §6)
+    log = spark.read.parquet(os.path.join(root, "log"))
     table = LakeTable.create(
         spark, os.path.join(root, "repos"), v1, ["repo", "path"], n_buckets=16
     )
