@@ -839,7 +839,8 @@ _IVF_K = 8
 def s3_ann_cosine_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.cosine_topk_ivf(
-        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K, n_centroids=_IVF_K
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K, n_centroids=_IVF_K,
+        broadcast_queries=True,  # |q| = 10: skip the auto-decide count job
     ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
@@ -875,7 +876,7 @@ def s3b_ann_cosine_ivf_nprobe(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K,
-        n_centroids=_IVF_K, nprobe=2,
+        n_centroids=_IVF_K, nprobe=2, broadcast_queries=True,
     ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
@@ -931,7 +932,8 @@ def s4_ann_cosine_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         "cid int, cv array<double>",
     ).write.mode("overwrite").parquet(os.path.join(root, "cents"))
     return similarity.cosine_topk_ivf(
-        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K, centroids=cents
+        emb, emb.filter(F.col("vec_id") < _ANN_NQ), k=_ANN_K, centroids=cents,
+        broadcast_queries=True,
     ).select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
