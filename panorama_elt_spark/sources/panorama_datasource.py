@@ -628,11 +628,12 @@ class PanoramaReader(DataSourceReader):
                 value_sets[col] = (
                     vals if col not in value_sets else value_sets[col] & vals
                 )
-            # a timestamp key predicate arrives as a NAIVE session-local
-            # datetime, but murmur3_hash treats naive as UTC — normalize
-            # with the session tz (LakeTable.read_where parity) or, when
-            # the tz is unknown, disable key-hash pruning entirely
-            # rather than plan the wrong bucket
+            # timestamp hygiene: Spark 4.1's pushdown delivers aware-UTC
+            # datetimes (hash correctly as instants), but a NAIVE value
+            # (other builds / direct reader use) would be hashed as UTC
+            # wall time — normalize with the session tz when known
+            # (LakeTable.read_where parity) and otherwise DISABLE
+            # key-hash pruning rather than plan the wrong bucket
             from ..lakehouse.table import normalize_key_value_sets
 
             value_sets = normalize_key_value_sets(
