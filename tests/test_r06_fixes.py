@@ -302,3 +302,33 @@ def test_sidecar_file_filter_routes_through_fileio():
         path = "data/absent.parquet"
 
     assert sidecar_file_filter(io, "/root_", [1])(Missing())  # conservative
+
+
+# ------------------------------------------------- shuffle-scratch policy
+
+
+def test_default_local_dir_policy(monkeypatch, tmp_path):
+    from panorama_elt_spark.session import _default_local_dir
+
+    # env override wins everywhere; "default" opts back to Spark's default
+    monkeypatch.setenv("PANORAMA_LOCAL_DIR", str(tmp_path))
+    assert _default_local_dir("spark://host:7077") == str(tmp_path)
+    monkeypatch.setenv("PANORAMA_LOCAL_DIR", "default")
+    assert _default_local_dir("local[8]") is None
+    monkeypatch.delenv("PANORAMA_LOCAL_DIR")
+
+    # cluster masters never get an implicit local dir (deployment decision)
+    assert _default_local_dir("spark://host:7077") is None
+    assert _default_local_dir("yarn") is None
+
+    # local masters pick the RAM-backed dir only when the gate passes
+    got = _default_local_dir("local[8]")
+    if os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 32 << 30:
+            assert got == "/dev/shm/panorama-spark-local"
+            assert os.path.isdir(got)
+        else:
+            assert got is None
+    else:
+        assert got is None
