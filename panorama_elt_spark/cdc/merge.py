@@ -81,13 +81,16 @@ batches. Readers fold deltas with one LWW aggregate
 files. Copy-on-write (fused/bucket_local) stays the read-optimized
 default.
 
-Ordering note: under the engine's contract (aligned, monotonically
-increasing LSN batches — what ``CdcEngine.replay`` and the streaming
-tail deliver) all three strategies produce identical states. If batches
-were applied with *overlapping* LSN ranges, CoW resolves cross-batch
-ties by arrival order (resident rows are tagged ``lsn = -1``), while
-merge-on-read keeps real LSNs in the delta files and resolves by true
-global LSN order at read time.
+Ordering note: every strategy resolves cross-batch collisions by TRUE
+global LSN order. The state files persist each row's winner LSN
+(``__lsn``); resident rows enter the CoW fold at that stored LSN (-1
+for files written before it existed — those keep the legacy
+arrival-order semantics until rewritten), and merge-on-read keeps real
+LSNs in the delta files and folds base rows in at their stored LSN at
+read time. Batches may therefore arrive with overlapping LSN ranges —
+the streaming tail's multi-epoch file splits do — and the final state
+is the same LWW answer the aligned ``CdcEngine.replay`` contract
+produces.
 """
 
 from __future__ import annotations
@@ -267,9 +270,14 @@ def _bucket_local_map_fn(
     Each input partition carries the LWW-deduped events of exactly one
     bucket (the dedup exchange is pinned to the bucket layout). The
     kernel reads that bucket's resident parquet file(s) locally, drops
-    resident keys overwritten by the batch (vectorized index anti-join),
-    appends the surviving events, and streams Arrow batches back out.
-    Everything is Arrow/pandas kernels — no per-row Python.
+    resident rows *genuinely overwritten* by the batch — the event's
+    LSN must be ≥ the resident row's stored winner LSN (``__lsn``,
+    -1 for files predating it), so out-of-order batches resolve by true
+    LSN, matching the fused path — appends the applied events (delete
+    winners become tombstone rows, ``__op='D'``), and streams Arrow
+    batches back out. ``out_names`` includes ``__op``/``__lsn``;
+    resident rows keep their stored values, applied events carry their
+    own. Everything is Arrow/pandas kernels — no per-row Python.
     """
 
     def fn(batches):
@@ -292,25 +300,50 @@ def _bucket_local_map_fn(
             raise RuntimeError("bucket-local merge: mixed buckets in one partition")
         parts = []
         paths = bucket_paths.get(bucket, [])
+        ev_keep = pd.Series(True, index=ev.index)
         if paths:
-            res_tbl = pa.concat_tables(
-                [pq.read_table(p, columns=out_names) for p in paths]
-            )
+            res_parts = []
+            for p in paths:
+                pf = pq.ParquetFile(p)
+                have = set(pf.schema_arrow.names)
+                cols = [c for c in out_names if c in have]
+                t = pf.read(columns=cols)
+                if "__op" not in t.column_names:
+                    # file predates stored system columns: legacy tags
+                    t = t.append_column("__op", pa.array(["E"] * len(t), pa.string()))
+                if "__lsn" not in t.column_names:
+                    t = t.append_column("__lsn", pa.array([-1] * len(t), pa.int64()))
+                res_parts.append(t.select(out_names))
+            res_tbl = pa.concat_tables(res_parts)
             res = res_tbl.to_pandas(types_mapper=pd.ArrowDtype)
-            # indicator anti-join instead of MultiIndex.isin: pandas
-            # merge matches null keys (Spark-groupBy semantics), while a
-            # MultiIndex refuses null levels outright — a NULL-keyed row
-            # (valid under the merge contract) must overwrite its
-            # resident twin, not crash the task
-            m = res[key_cols].merge(
-                ev[key_cols].drop_duplicates(),
-                on=key_cols,
-                how="left",
-                indicator=True,
+            res["__op"] = res["__op"].fillna("E")
+            res["__lsn"] = res["__lsn"].fillna(-1)
+            # pandas merges (not MultiIndex.isin) so NULL keys match
+            # like Spark's groupBy; per-key LSN comparison both ways:
+            # the resident (incl. tombstones) survives iff strictly
+            # newer than the batch's winner for its key, the event
+            # applies iff ≥ the resident.
+            evk = ev[key_cols + ["__evl"]].drop_duplicates(subset=key_cols)
+            m = res[key_cols].merge(evk, on=key_cols, how="left")
+            m_evl = m["__evl"].astype("float64").to_numpy()  # NaN = no event
+            res_lsn = res["__lsn"].astype("float64").to_numpy()
+            import numpy as np
+
+            res_keep = np.isnan(m_evl) | (res_lsn > m_evl)
+            parts.append(res[res_keep])
+            resk = res[key_cols + ["__lsn"]].rename(columns={"__lsn": "__rl"})
+            m2 = ev[key_cols].merge(resk, on=key_cols, how="left")
+            m2_rl = m2["__rl"].astype("float64").to_numpy()
+            ev_lsn = ev["__evl"].astype("float64").to_numpy()
+            ev_keep = pd.Series(
+                np.isnan(m2_rl) | (ev_lsn >= m2_rl), index=ev.index
             )
-            parts.append(res[(m["_merge"] == "left_only").to_numpy()])
-        live = ev[ev[op_col] != "D"]
+        # applied delete winners become tombstone rows (kept, hidden
+        # from user reads) so a later out-of-order update cannot
+        # resurrect them
+        live = ev[ev_keep.to_numpy()]
         if not live.empty:
+            live = live.rename(columns={op_col: "__op", "__evl": "__lsn"})
             parts.append(live[out_names])
         parts = [p for p in parts if not p.empty]
         if not parts:
@@ -538,6 +571,7 @@ def merge_batch(
                 )
             replaced_buckets = set()  # pure append: nothing replaced
         elif strategy == "bucket_local":
+            from pyspark.sql import types as T
             from pyspark.sql.pandas.types import to_arrow_schema
 
             bucket_paths: dict[int, list[str]] = {}
@@ -545,15 +579,23 @@ def merge_batch(
                 bucket_paths.setdefault(int(f.bucket), []).append(
                     os.path.join(table.root, f.path)
                 )
-            out_struct = snap.schema.to_struct()
+            out_struct = T.StructType(
+                list(snap.schema.to_struct().fields)
+                + [
+                    T.StructField("__op", T.StringType()),
+                    T.StructField("__lsn", T.LongType()),
+                ]
+            )
+            out_names = list(data_cols) + ["__op", "__lsn"]
             with _pinned_shuffle(table.spark, snap.n_buckets):
                 deduped = (
                     events.groupBy(*keys)
-                    .agg(winner)
+                    .agg(winner, F.max(lsn_col).alias("__evl"))
                     .select(
                         *keys,
                         *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
                         F.col(f"__w.{op_col}").alias(op_col),
+                        F.col("__evl"),
                     )
                     .withColumn("__b", bucket_expr(keys, snap.n_buckets))
                 )
@@ -561,7 +603,7 @@ def merge_batch(
                     _bucket_local_map_fn(
                         bucket_paths,
                         list(keys),
-                        list(data_cols),
+                        out_names,
                         op_col,
                         to_arrow_schema(out_struct),
                     ),
@@ -574,21 +616,32 @@ def merge_batch(
                     size_hint_rows=resident_rows_total + n_keys,
                 )
         else:
-            # existing rows of the affected buckets, tagged to lose every tie:
-            # any batch event (lsn ≥ 0) beats the resident row (lsn = -1).
-            resident = table.read(buckets=affected).select(
+            # existing rows of the affected buckets at their *stored*
+            # system columns (op 'E'/-1 for rows written before they
+            # were persisted): a batch event beats the resident row only
+            # when genuinely newer, so out-of-order batches — the
+            # streaming tail's multi-epoch file splits — resolve by true
+            # LSN instead of arrival order. Delete winners are KEPT as
+            # hidden tombstone rows (user reads drop them) so a late
+            # update cannot resurrect a newer delete; the winner's
+            # (__op, __lsn) are written back for the next merge/read.
+            resident = table.read(buckets=affected, with_lsn=True).select(
                 *keys,
                 *payload_cols,
-                F.lit("E").alias(op_col),
-                F.lit(-1).cast("long").alias(lsn_col),
+                F.col("__op").alias(op_col),
+                F.col("__lsn").alias(lsn_col),
             )
             unioned = resident.unionByName(events)
             with _pinned_shuffle(table.spark, snap.n_buckets):
                 merged = (
                     unioned.groupBy(*keys)
-                    .agg(winner)
-                    .filter(F.col(f"__w.{op_col}") != "D")
-                    .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+                    .agg(winner, F.max(lsn_col).alias("__lsn"))
+                    .select(
+                        *keys,
+                        *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+                        F.col(f"__w.{op_col}").alias("__op"),
+                        F.col("__lsn"),
+                    )
                 )
                 new_files = table.write_bucket_files(
                     merged,

@@ -116,15 +116,21 @@ def _prune_files_for_state(
     predicates prune ANY file — a key's value is identical in every row
     and file that holds the key, so a file whose key window excludes the
     predicate holds no contributing row. Payload predicates prune BASE
-    files only: a delta row always outranks base (base folds in at
-    ``__lsn = -1``) and carries the full payload, so a pruned base file
-    can never change a surviving key's winner — whereas pruning a delta
-    file could resurrect a superseded (or deleted) base row whose stale
-    payload happens to match. Callers re-apply the full predicate on the
-    DataFrame; pruning is planning-only and conservative."""
+    files only, and only base files that cannot outrank a delta: a base
+    row folds in at its stored ``__lsn`` (-1 for files written before
+    LSNs were persisted), so in a bucket that holds deltas a base file
+    whose ``__lsn`` window reaches ≥ 0 may carry the true winner of a
+    key a *late* delta also names — pruning it would resurrect the
+    stale delta row. Legacy (-1) base files always lose ties to deltas,
+    and base files in delta-free buckets face no competition, so both
+    keep the old payload-pruning rule. Pruning a delta file is never
+    allowed on payload predicates (it could resurrect a superseded or
+    deleted base row whose stale payload happens to match). Callers
+    re-apply the full predicate on the DataFrame; pruning is
+    planning-only and conservative."""
     if not predicates:
         return files
-    from .filestats import file_may_match
+    from .filestats import decode_bound, file_may_match
 
     types_by_key = {str(f.id): f.type for f in snap.schema.fields}
     by_name = {f.name: f for f in snap.schema.fields}
@@ -136,9 +142,46 @@ def _prune_files_for_state(
             continue  # unknown column: no pruning on this pred
         row = (str(fld.id), op, value)
         (key_preds if fld.name in snap.key_cols else payload_preds).append(row)
+    delta_buckets = {getattr(f, "bucket", None) for f in files if f.kind == "delta"}
+    # min delta __lsn per bucket (None = some delta's window is unknown)
+    delta_lo: dict[int, int | None] = {}
+    for f in files:
+        if f.kind != "delta":
+            continue
+        lo = (
+            decode_bound(f.stats["__lsn"][0], "bigint")
+            if f.stats and "__lsn" in f.stats
+            else None
+        )
+        b = getattr(f, "bucket", None)
+        if b in delta_lo:
+            cur = delta_lo[b]
+            delta_lo[b] = None if lo is None or cur is None else min(cur, lo)
+        else:
+            delta_lo[b] = lo
+
+    def may_outrank_deltas(f) -> bool:
+        if getattr(f, "bucket", None) not in delta_buckets:
+            return False
+        if not f.stats or "__lsn" not in f.stats:
+            # no __lsn window ⇒ the file predates stored LSNs: its rows
+            # fold at -1 and lose every tie to a delta — prunable
+            return False
+        hi = decode_bound(f.stats["__lsn"][1], "bigint")
+        if hi is None:
+            return True  # undecodable window: conservative
+        if hi < 0:
+            return False  # all rows tagged -1
+        lo = delta_lo.get(getattr(f, "bucket", None))
+        return lo is None or hi >= lo
+
     out = []
     for f in files:
-        preds = key_preds + (payload_preds if f.kind == "base" else [])
+        preds = key_preds + (
+            payload_preds
+            if f.kind == "base" and not may_outrank_deltas(f)
+            else []
+        )
         if file_may_match(f.stats, f.rows, preds, types_by_key):
             out.append(f)
     return out
@@ -646,6 +689,7 @@ class LakeTable:
         with_deltas: bool = True,
         predicates: list[tuple[str, str, object]] | None = None,
         ref: str | None = None,
+        with_lsn: bool = False,
     ) -> DataFrame:
         """Current (or time-travel) state; ``buckets`` prunes the scan to
         the named buckets only — the merge path's file pruning.
@@ -666,7 +710,9 @@ class LakeTable:
                 raise ValueError("pass version or ref, not both")
             version = self.resolve_ref(ref)
         snap = self.snapshot if version is None else self.log.read_version(version)
-        return self._read_state(snap, snap, buckets, with_deltas, predicates)
+        return self._read_state(
+            snap, snap, buckets, with_deltas, predicates, with_lsn=with_lsn
+        )
 
     def read_where(
         self,
@@ -776,42 +822,77 @@ class LakeTable:
         with_deltas: bool = True,
         predicates: list[tuple[str, str, object]] | None = None,
         file_filter=None,
+        with_lsn: bool = False,
     ) -> DataFrame:
         """``snap``'s row state projected onto ``proj``'s schema (the
         field-id mapper reads any file under any historical schema, so
         ``proj`` may be a *newer* snapshot than ``snap`` — the cross-
         schema-epoch read ``changes()`` uses). ``proj.schema_history``
         must cover every file's schema_version; any later snapshot does
-        (history accumulates monotonically)."""
+        (history accumulates monotonically).
+
+        Base rows fold in at their *stored* system columns (``__op`` /
+        ``__lsn``, persisted by the merge since the out-of-order fix;
+        ``'E'`` / -1 for files predating it), so a delta or batch event
+        only outranks a base row when its LSN is genuinely newer, and a
+        delete winner survives as a hidden *tombstone* row that blocks
+        late resurrections — the out-of-order arbitration the streaming
+        tail's contract promises. User-facing reads drop tombstones;
+        ``with_lsn=True`` (internal: the merge's resident read and the
+        maintenance rewrites) keeps them and appends ``__op``/``__lsn``
+        to the output so rewrites preserve both."""
         files = snap.files if buckets is None else snap.files_in_buckets(buckets)
         if predicates:
             files = _prune_files_for_state(proj, files, predicates)
         if file_filter is not None:
             files = [f for f in files if file_filter(f)]
-        base = self._read_mapped(proj, [f for f in files if f.kind == "base"])
         delta_files = [f for f in files if f.kind == "delta"]
-        if not delta_files or not with_deltas:
-            return base
-        deltas = self._read_mapped(proj, delta_files, with_delta_cols=True)
-        tagged = base.withColumn("__op", F.lit("E")).withColumn(
-            "__lsn", F.lit(-1).cast("long")
+        # system columns are always read on base files: merge-written
+        # files may hold tombstone rows that a user read must drop
+        base = self._read_mapped(
+            proj,
+            [f for f in files if f.kind == "base"],
+            with_delta_cols=True,
+            coalesce_system=True,
         )
         keys = proj.key_cols
         payload = [c for c in proj.schema.names if c not in keys]
+        if not delta_files or not with_deltas:
+            if with_lsn:
+                return base
+            return base.filter(F.col("__op") != "D").drop("__op", "__lsn")
+        deltas = self._read_mapped(proj, delta_files, with_delta_cols=True)
         winner = F.max_by(
             F.struct(*[F.col(c) for c in payload], F.col("__op")), F.col("__lsn")
         ).alias("__w")
-        return (
-            tagged.unionByName(deltas)
-            .groupBy(*keys)
-            .agg(winner)
-            .filter(F.col("__w.__op") != "D")
-            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
-        )
+        aggs = [winner]
+        if with_lsn:
+            aggs.append(F.max("__lsn").alias("__lsn"))
+        folded = base.unionByName(deltas).groupBy(*keys).agg(*aggs)
+        if not with_lsn:
+            folded = folded.filter(F.col("__w.__op") != "D")
+        out_cols = [*keys, *[F.col(f"__w.{c}").alias(c) for c in payload]]
+        if with_lsn:
+            out_cols.append(F.col(f"__w.__op").alias("__op"))
+            out_cols.append(F.col("__lsn"))
+        return folded.select(*out_cols)
 
-    def _read_mapped(self, snap, files, *, with_delta_cols: bool = False) -> DataFrame:
+    def _read_mapped(
+        self,
+        snap,
+        files,
+        *,
+        with_delta_cols: bool = False,
+        coalesce_system: bool = False,
+    ) -> DataFrame:
         """Read a file set, mapping every schema version onto the current
-        schema by field id; delta files carry __op/__lsn through."""
+        schema by field id; ``with_delta_cols`` carries the ``__op`` /
+        ``__lsn`` system columns through. Since the out-of-order fix,
+        copy-on-write base files persist them too (the winner's op —
+        delete winners stay as hidden *tombstone* rows — and its LSN);
+        ``coalesce_system=True`` additionally maps files that predate
+        the fix (or plain appends) to the legacy tags ``'E'`` / ``-1``,
+        so any mix of file generations folds uniformly."""
         from pyspark.sql import types as T
 
         target_struct = snap.schema.to_struct()
@@ -820,7 +901,11 @@ class LakeTable:
             T.StructField("__lsn", T.LongType()),
         ]
         if not files:
-            out_struct = T.StructType(list(target_struct.fields) + extra) if with_delta_cols else target_struct
+            out_struct = (
+                T.StructType(list(target_struct.fields) + extra)
+                if with_delta_cols
+                else target_struct
+            )
             return self.spark.createDataFrame([], out_struct)
         by_version: dict[int, list[str]] = {}
         for f in files:
@@ -849,7 +934,15 @@ class LakeTable:
                         col = col.cast(spark_type(fld.type))
                     cols.append(col.alias(fld.name))
             if with_delta_cols:
-                cols += [F.col("__op"), F.col("__lsn")]
+                if coalesce_system:
+                    cols += [
+                        F.coalesce(F.col("__op"), F.lit("E")).alias("__op"),
+                        F.coalesce(F.col("__lsn"), F.lit(-1).cast("long")).alias(
+                            "__lsn"
+                        ),
+                    ]
+                else:
+                    cols += [F.col("__op"), F.col("__lsn")]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -1467,18 +1560,29 @@ class LakeTable:
         winner = F.max_by(
             F.struct(*[F.col(c) for c in payload], F.col("__op")), F.col("__lsn")
         ).alias("__w")
-        winners = deltas.groupBy(*keys).agg(winner)
+        winners = deltas.groupBy(*keys).agg(winner, F.max("__lsn").alias("__wl"))
         buckets = {f.bucket for f in delta_files}
-        old = self._read_state(snap_from, proj, buckets).select(
-            *keys, F.struct(*payload).alias("__old")
+        # with_lsn: tombstones included (classification needs to know a
+        # key was deleted, not absent) plus each old row's stored LSN
+        old = self._read_state(snap_from, proj, buckets, with_lsn=True).select(
+            *keys,
+            F.struct(*payload).alias("__old"),
+            F.col("__op").alias("__oop"),
+            F.col("__lsn").alias("__ol"),
         )
         j = winners.join(old, on=list(keys), how="left")
+        # a range winner older than the old row's stored LSN never
+        # applies (the read fold keeps the old row) — emit nothing for
+        # it, exactly like the diff path (old state == new state there)
+        j = j.filter(F.col("__ol").isNull() | (F.col("__wl") >= F.col("__ol")))
         is_del = F.col("__w.__op") == "D"
+        # visible old row = present and not a tombstone
+        in_old = F.col("__oop").isNotNull() & (F.col("__oop") != "D")
         new_struct = F.struct(*[F.col(f"__w.{c}").alias(c) for c in payload])
         op = (
-            F.when(F.col("__old").isNull() & ~is_del, F.lit("I"))
-            .when(F.col("__old").isNotNull() & is_del, F.lit("D"))
-            .when(F.col("__old").isNotNull() & (F.col("__old") != new_struct), F.lit("U"))
+            F.when(~in_old & ~is_del, F.lit("I"))
+            .when(in_old & is_del, F.lit("D"))
+            .when(in_old & ~is_del & (F.col("__old") != new_struct), F.lit("U"))
         )
         return (
             j.withColumn("change_op", op)
@@ -1703,7 +1807,9 @@ class LakeTable:
             return snap
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-        merged = self.read(version=snap.version)
+        # with_lsn: rows keep their stored winner LSN through the rewrite
+        # so out-of-order arbitration survives a bucket-count change
+        merged = self.read(version=snap.version, with_lsn=True)
         new_files = self.write_bucket_files(
             merged,
             snap.version + 1,
@@ -1762,8 +1868,10 @@ class LakeTable:
         # parent: a delta landing mid-fold is then carried forward by
         # the rebase exactly once (a fresher read would fold it AND
         # carry it — harmless under LWW, but the pin keeps the commit's
-        # inputs and its conflict check the same set of files)
-        merged = self.read(buckets=target, version=snap.version)
+        # inputs and its conflict check the same set of files).
+        # with_lsn: the folded rows keep their winner LSN, so a late
+        # batch arriving after compaction still loses to them
+        merged = self.read(buckets=target, version=snap.version, with_lsn=True)
         sort_exprs = None
         if layout == "zorder":
             if not sort_by or len(sort_by) < 2:

@@ -215,11 +215,25 @@ def _load_projected(
                     pc.cast(tbl.column("__op"), pa.string()),
                     pc.cast(tbl.column("__lsn"), pa.int64()),
                 ]
-            else:  # base rows: op E at LSN -1, losers to any delta
-                cols += [
-                    pa.array(["E"] * len(tbl), pa.string()),
-                    pa.array([-1] * len(tbl), pa.int64()),
-                ]
+            else:
+                # base rows at their STORED system columns (written by
+                # the merge since the out-of-order fix: winner op —
+                # delete winners persist as hidden tombstone rows — and
+                # winner LSN); files that predate them fold in at the
+                # legacy 'E'/-1 tags, losing every tie
+                if "__op" in tbl.column_names:
+                    op_col = pc.fill_null(
+                        pc.cast(tbl.column("__op"), pa.string()), "E"
+                    )
+                else:
+                    op_col = pa.array(["E"] * len(tbl), pa.string())
+                if "__lsn" in tbl.column_names:
+                    lsn_col = pc.fill_null(
+                        pc.cast(tbl.column("__lsn"), pa.int64()), -1
+                    )
+                else:
+                    lsn_col = pa.array([-1] * len(tbl), pa.int64())
+                cols += [op_col, lsn_col]
             names += ["__op", "__lsn"]
         tables.append(pa.table(cols, names=names))
     if not tables:
@@ -289,20 +303,32 @@ def _lww_winners(tbl, key_cols: list[str]):
 
 
 def _load_state(
-    root, files, histories, target_fields, key_cols, out_schema
+    root, files, histories, target_fields, key_cols, out_schema, with_lsn=False
 ):
-    """One bucket's row state: projected files, LWW-folded if the set
-    holds merge-on-read deltas, delete markers dropped."""
+    """One bucket's row state: projected files (system columns always
+    read — merge-written base files hold hidden tombstone rows),
+    LWW-folded if the set holds merge-on-read deltas, tombstones and
+    delete markers dropped. ``with_lsn`` keeps tombstones and appends
+    each row's winner op/LSN as ``__op``/``__lsn`` — the change-feed
+    kernel's out-of-order arbitration input."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     have_deltas = any(kind == "delta" for _, _, kind in files)
-    tbl = _load_projected(root, files, histories, target_fields, have_deltas)
-    if have_deltas:
-        winners = _lww_winners(tbl, key_cols)
-        tbl = winners.filter(pc.not_equal(winners["__op"], "D")).select(
-            out_schema.names
+    tbl = _load_projected(root, files, histories, target_fields, True)
+    names = list(out_schema.names)
+    schema = out_schema
+    if with_lsn:
+        names += ["__op", "__lsn"]
+        schema = pa.schema(
+            list(out_schema)
+            + [pa.field("__op", pa.string()), pa.field("__lsn", pa.int64())]
         )
-    return tbl.cast(out_schema)
+    if have_deltas:
+        tbl = _lww_winners(tbl, key_cols)
+    if not with_lsn:
+        tbl = tbl.filter(pc.not_equal(tbl["__op"], "D"))
+    return tbl.select(names).cast(schema)
 
 
 def _null_safe_any_diff(tbl, cols: list[str]):
@@ -349,10 +375,20 @@ def _read_changes_partition(partition: ChangesPartition):
     out_schema = _feed_schema_arrow(tf, keys, partition.version is not None)
     state_schema = pa.schema([(name, _arrow_type(t)) for _, name, t, _ in tf])
     old = _load_state(
-        partition.root, partition.old_files, partition.histories, tf, keys, state_schema
+        partition.root,
+        partition.old_files,
+        partition.histories,
+        tf,
+        keys,
+        state_schema,
+        with_lsn=partition.mor,
     )
     # rename old payload out of the way of the join
-    old = old.rename_columns(keys + [f"__old_{c}" for c in payload])
+    old = old.rename_columns(
+        keys
+        + [f"__old_{c}" for c in payload]
+        + (["__old_op", "__old_lsn"] if partition.mor else [])
+    )
     old = old.append_column("__in_old", pa.array([True] * len(old), type=pa.bool_()))
 
     if partition.mor:
@@ -365,7 +401,22 @@ def _read_changes_partition(partition: ChangesPartition):
         )
         w = _lww_winners(deltas, keys)
         j = w.join(old, keys=keys, join_type="left outer")
-        in_old = pc.fill_null(j["__in_old"], False)
+        # a range winner older than the old row's stored LSN never
+        # applies (the read fold keeps the old row) — emit nothing,
+        # exactly like the state-diff path (old state == new state)
+        applies = pc.fill_null(
+            pc.or_kleene(
+                pc.is_null(j["__old_lsn"]),
+                pc.greater_equal(j["__lsn"], j["__old_lsn"]),
+            ),
+            True,
+        )
+        j = j.filter(applies)
+        # visible old row = present and not a tombstone
+        in_old = pc.and_(
+            pc.fill_null(j["__in_old"], False),
+            pc.invert(pc.fill_null(pc.equal(j["__old_op"], "D"), False)),
+        )
         is_del = pc.equal(j["__op"], "D")
         differs = (
             _null_safe_any_diff(j, payload)

@@ -73,7 +73,10 @@ def test_task_write_paths_are_task_reported(spark, tmp_path, monkeypatch):
         first = f.path.split("/")[1]
         assert "-" in first, f.path
         total += f.rows
-    assert total == t.read().count()
+    # f.rows counts physical rows: delete winners persist as hidden
+    # tombstone rows (out-of-order arbitration), which user reads drop
+    assert total == t.read(with_lsn=True).count()
+    assert t.read().count() <= total
 
 
 def test_concurrent_same_batch_writers_unique_dirs(spark, tmp_path):
